@@ -1,0 +1,90 @@
+"""Crawl contract constants and configuration.
+
+Every semantic knob of the crawl is fixed here so that the pure-Python oracle
+(tests/oracle) and the Spark engine share ONE contract. All times are LOGICAL
+seconds (round r starts at ``t_r = r * round_tick``) — the reference leans on
+``System.currentTimeMillis`` (storages/RedisFutureStorage.scala:20,56,100);
+the engine replaces wall-clock with this logical clock so runs are exactly
+reproducible (SURVEY.md §7 "No wall-clock anywhere").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """The crawl contract.
+
+    References into /root/reference/src/main/scala/twitter/crawler/:
+
+    * ``intervals``/``max_attempts``: revisit schedule ``[0, 1h, 5h, 19h]`` and
+      removal at attempt cap — storages/RedisFutureStorage.scala:12,62-69.
+    * ``crawl_once``: the ``withRemoving`` mode —
+      topologies/SeachUrlOnlyTopology.scala:12.
+    * ``evict_unproductive``: "Delete rare url" (0 results and not the first
+      attempt) — storages/RedisFutureStorage.scala:123-143.
+    * ``lang_filter``: server-side ``query.setLang("ru")`` —
+      threads/RedisSearchThread.scala:17. Fetch results (page snapshots) are
+      lang-filtered before counting/extraction, like the search API filtered
+      tweets server-side.
+    * cursor semantics: ``sinceId`` incremental scans —
+      threads/RedisSearchThread.scala:18-19; a fetch of url U at round r sees
+      exactly the snapshots with ``last_cursor < warc_ts_logical <= t_r``.
+    * OPIC-style score: no reference impl (north-star requirement); integer
+      micro-cash so summation is order-independent and ordering is exactly
+      reproducible under any parallelism.
+    """
+
+    # revisit schedule, logical seconds (RedisFutureStorage.scala:12: 0,1h,5h,19h)
+    intervals: tuple[int, ...] = (0, 3600, 18000, 68400)
+    # a url is popped at most this many times (RedisFutureStorage.scala:62-65)
+    max_attempts: int = 4
+    # logical seconds per crawl round
+    round_tick: int = 3600
+    # only snapshots with this lang yield results; None disables the filter
+    lang_filter: str | None = "ru"
+    # crawl-once mode: never re-insert after a pop (withRemoving)
+    crawl_once: bool = False
+    # evict tasks that returned 0 results on a revisit (attempt >= 1)
+    evict_unproductive: bool = True
+    # OPIC: initial cash (integer micro-units) for a newly scheduled url
+    init_cash: int = 1_000_000
+    # politeness defaults for hosts absent from the politeness table
+    default_budget: int = 4
+    default_crawl_delay: int = 1
+    # stop after this many rounds even if the frontier is non-empty
+    max_rounds: int = 50
+    # URL-seen sharding: bloom/cuckoo sidecars are partitioned by
+    # murmur3_64(url) % seen_partitions (SURVEY.md §2.3 D1)
+    seen_partitions: int = 16
+    bloom_bits_per_partition: int = 1 << 17
+    bloom_num_hashes: int = 4
+    # cuckoo verification shard (fingerprint bits / bucket geometry)
+    cuckoo_buckets_per_partition: int = 1 << 12
+    cuckoo_slots: int = 4
+    # salting factor for the hot-host politeness window (SURVEY.md §2.4 skew note)
+    host_salt: int = 8
+    # pages-table bucketing: pages parquet is laid out in
+    # bucket = murmur3_64(url) % pages_buckets subdirectories so the fetch join
+    # prunes partitions (Iceberg bucket-partition analog)
+    pages_buckets: int = 16
+
+    @property
+    def default_host_policy(self) -> tuple[int, int]:
+        return (self.default_budget, self.default_crawl_delay)
+
+
+# epoch base for mapping logical seconds <-> warc_ts timestamps in fixtures
+EPOCH_BASE = 1_600_000_000  # 2020-09-13T12:26:40Z, arbitrary fixed instant
+
+# frontier priority: ORDER BY (depth ASC, score DESC, url ASC); the url
+# tie-break mirrors the Redis zset lexicographic member order on score ties
+# (storages/RedisFutureStorage.scala:50 zrangeWithScores).
+ORDER_COLS = ("depth", "neg_score", "url")
+
+
+def sort_key(depth: int, score: int, url: str) -> tuple[int, int, str]:
+    """Total order of frontier tasks; shared by oracle and engine tests."""
+    return (depth, -score, url)
