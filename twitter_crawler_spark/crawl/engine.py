@@ -1,0 +1,572 @@
+"""The batch-iterative crawl engine — one Catalyst-optimized DataFrame DAG per
+round, replacing the reference's actor/thread topology
+(topologies/RedisGraphBuilderTopology.scala, threads/RedisSearchThread.scala).
+
+Round r (logical clock ``t_r = r * round_tick``), all stages DataFrame-native:
+
+  due      = frontier ⋉ hosts   (next_fetch_ts ≤ t_r, crawl-delay gate)   F2/F7
+  popped   = salted two-stage per-host budget window + global total order F5/F8
+  fetched  = pages ⋈ broadcast(popped) with bucket partition pruning and
+             the cursor predicate pushed to the parquet scan              J9/F12/S2
+  links    = mapInPandas outlink extraction → canonicalize → redirects    P3/P8
+  new      = robots longest-prefix filter → bloom → cuckoo → exact
+             anti-join vs url_seen                                        D1-D4
+  frontier' = (pending ∖ popped) ∪ reinserted ∪ new, + OPIC gains         F1/F3/F4/A15
+  commit   = parquet round dirs + versioned bloom sidecars + atomic
+             manifest replace (Iceberg snapshot analog)                   C1/C4
+
+Determinism invariant: crawl order is a pure function of the data — the
+popped batch is totally ordered by ``(depth, -score, url)`` (integer OPIC
+cash → no float summation-order ambiguity), never by partitioning. The pure-
+Python oracle (oracle/frontier_oracle.py) replays identical semantics; pytest
+asserts exact equality of crawl_order / url_seen / edges / text_sha /
+evictions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from twitter_crawler_spark import schemas
+from twitter_crawler_spark.config import EPOCH_BASE, CrawlConfig
+from twitter_crawler_spark.crawl.seen import make_seen_check_fn, make_seen_update_fn
+from twitter_crawler_spark.crawl.state import SnapshotStore
+from twitter_crawler_spark.functions.hashing import murmur3_64_udf
+from twitter_crawler_spark.functions.html import decode_html, extract_links, extract_text
+from twitter_crawler_spark.functions.urls import canonicalize_udf
+
+
+def _host_col(url):
+    return F.substring_index(F.substring_index(url, "://", -1), "/", 1)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixture_dir: str,
+        state_dir: str,
+        cfg: CrawlConfig | None = None,
+        use_filters: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        assert len(self.cfg.intervals) >= self.cfg.max_attempts
+        self.fx = fixture_dir
+        self.store = SnapshotStore(state_dir)
+        self.use_filters = use_filters
+        self._load_static()
+
+    # ------------------------------------------------------------------ inputs
+
+    def _load_static(self) -> None:
+        s, fx = self.spark, self.fx
+        self.pages_path = os.path.join(fx, "pages")
+        self.redirects = s.read.parquet(os.path.join(fx, "redirects.parquet")).cache()
+        self.robots = s.read.parquet(os.path.join(fx, "robots.parquet")).cache()
+        self.politeness = s.read.parquet(os.path.join(fx, "politeness.parquet")).cache()
+        with open(os.path.join(fx, "seeds.txt")) as f:
+            self.seeds = [line.strip() for line in f if line.strip()]
+
+    def _pages(self) -> DataFrame:
+        """pages with partition column ``bucket`` (from the dir layout) and the
+        logical-seconds timestamp. Column pruning: ``text`` is NEVER read by
+        the crawl (the engine extracts its own; reading the golden column
+        would both cheat and double I/O)."""
+        return (
+            self.spark.read.option("basePath", self.pages_path)
+            .parquet(self.pages_path)
+            .select(
+                "url",
+                "bucket",
+                (F.col("warc_ts").cast("long") - F.lit(EPOCH_BASE)).alias("ts_logical"),
+                "lang",
+                "html",
+            )
+        )
+
+    # ------------------------------------------------------------- robots filter
+
+    def _robots_allow(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Longest-prefix robots evaluation as a broadcast join + max_by —
+        no UDF (north rule lists robots; the reference's closest analog is the
+        340-pattern shortener predicate, utils/RedisUrlEnlarger.scala:40-48,
+        which SURVEY.md P7 likewise maps to a broadcast join)."""
+        u = F.col(url_col)
+        df = df.withColumn("_host", _host_col(u)).withColumn(
+            "_path",
+            F.expr(
+                f"substring(substring_index({url_col}, '://', -1),"
+                f" instr(substring_index({url_col}, '://', -1), '/'))"
+            ),
+        )
+        r = F.broadcast(self.robots)
+        j = df.join(r, df._host == r.host, "left")
+        # longest matching prefix wins; equal length → disallow wins; a url
+        # with no matching rule keeps its left-join row (null rule) → allow.
+        matching = F.col("prefix").isNotNull() & F.col("_path").startswith(F.col("prefix"))
+        rule = F.when(
+            matching,
+            F.struct(
+                F.length("prefix").alias("plen"),
+                (~F.col("allow")).alias("deny"),
+                F.col("allow").alias("allow"),
+            ),
+        )  # otherwise null — ignored by max()
+        grouped = j.groupBy(url_col).agg(F.max(rule).alias("best"))
+        return grouped.withColumn(
+            "allowed", F.coalesce(F.col("best.allow"), F.lit(True))
+        ).drop("best")
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self) -> None:
+        """Round -1 snapshot: frontier from seeds (robots-filtered), hosts from
+        the politeness table, url_seen = scheduled seeds, fresh bloom shards."""
+        cfg, s = self.cfg, self.spark
+        seeds = s.createDataFrame([(u,) for u in self.seeds], ["url"]).distinct()
+        allowed = self._robots_allow(seeds).where("allowed").select("url")
+        fr = (
+            allowed.withColumn("url_hash", murmur3_64_udf("url"))
+            .withColumn("host", _host_col(F.col("url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("score", F.lit(cfg.init_cash).cast("long"))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("next_fetch_ts", F.lit(0).cast("long"))
+            .withColumn("last_cursor", F.lit(-1).cast("long"))
+            .withColumn("src_round", F.lit(-1))
+        )
+        fr = s.createDataFrame(fr.toPandas(), schemas.FRONTIER).cache()
+        hosts = self.politeness.withColumn("last_fetch_round", F.lit(None).cast("int"))
+        seen = fr.select(
+            "url_hash", "url", F.lit(-1).alias("first_round")
+        )
+        self.store.write_round(fr, "frontier", -1)
+        self.store.write_round(hosts, "hosts", -1)
+        self.store.write_round(seen, "url_seen", -1)
+        if self.use_filters:
+            bloom_dir = self.store.bloom_dir(-1)
+            os.makedirs(bloom_dir, exist_ok=True)
+            upd = make_seen_update_fn(None, bloom_dir, cfg)
+            (
+                seen.withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
+                .groupBy("bucket")
+                .applyInPandas(upd, "bucket int, added long, overflowed boolean")
+                .collect()
+            )
+        self.store.commit(-1, {"seeds": len(self.seeds)})
+
+    # ------------------------------------------------------------------ run
+
+    def run(self, max_rounds: int | None = None) -> dict:
+        cfg = self.cfg
+        max_rounds = max_rounds or cfg.max_rounds
+        if self.store.committed_round() is None:
+            self.init_state()
+        else:
+            self.store.clean_uncommitted()
+        start = self.store.committed_round() + 1
+        summary = {"rounds": [], "start_round": start}
+        for r in range(start, max_rounds):
+            frontier_n = self._round(r)
+            summary["rounds"].append(r)
+            if frontier_n == 0:
+                break
+        summary["final_round"] = self.store.committed_round()
+        return summary
+
+    # ------------------------------------------------------------------ a round
+
+    def _round(self, r: int) -> int:
+        cfg, s = self.cfg, self.spark
+        t0 = time.time()
+        t_r = r * cfg.round_tick
+        prev = r - 1
+        frontier = self.store.read_state(s, "frontier", prev)
+        hosts = self.store.read_state(s, "hosts", prev).cache()
+
+        # ---- pop: due filter + crawl-delay + salted per-host budget window ----
+        due = (
+            frontier.join(hosts, "host", "left")
+            .withColumn("budget", F.coalesce("budget_per_round", F.lit(cfg.default_budget)))
+            .withColumn("delay", F.coalesce("crawl_delay_rounds", F.lit(cfg.default_crawl_delay)))
+            .where(
+                (F.col("next_fetch_ts") <= t_r)
+                & (
+                    F.col("last_fetch_round").isNull()
+                    | (F.lit(r) >= F.col("last_fetch_round") + F.col("delay"))
+                )
+            )
+        )
+        # hot-host skew: stage 1 ranks inside (host, salt) slices so no single
+        # task sorts a whole hot domain; stage 2 re-ranks the ≤ salt*budget
+        # survivors per host — result is identical to a direct per-host top-k
+        order = [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()]
+        w1 = Window.partitionBy("host", F.pmod("url_hash", F.lit(cfg.host_salt))).orderBy(*order)
+        w2 = Window.partitionBy("host").orderBy(*order)
+        popped = (
+            due.withColumn("rk1", F.row_number().over(w1))
+            .where(F.col("rk1") <= F.col("budget"))
+            .withColumn("rk2", F.row_number().over(w2))
+            .where(F.col("rk2") <= F.col("budget"))
+            .drop("rk1", "rk2")
+        )
+        # global total order → seq (popped batch is small: Σ host budgets)
+        popped = (
+            popped.withColumn("seq", F.row_number().over(Window.orderBy(*order)) - 1)
+            .select(
+                "url", "url_hash", "host", "depth", "score", "attempt",
+                "next_fetch_ts", "last_cursor", "src_round", "seq",
+            )
+            .cache()
+        )
+        n_popped = popped.count()
+
+        # ---- fetch join: bucket partition pruning + broadcast of the batch ----
+        lang_ok = F.lit(True) if cfg.lang_filter is None else (F.col("lang") == cfg.lang_filter)
+        if n_popped:
+            buckets = [
+                row[0]
+                for row in popped.select(
+                    F.pmod("url_hash", F.lit(cfg.pages_buckets)).alias("b")
+                ).distinct().collect()
+            ]
+            fetched = (
+                self._pages()
+                .where(F.col("bucket").isin(buckets))
+                .join(F.broadcast(popped.select("url", "last_cursor")), "url")
+                .where(
+                    (F.col("ts_logical") <= t_r)
+                    & (F.col("ts_logical") > F.col("last_cursor"))
+                    & lang_ok
+                )
+                .select("url", "ts_logical", "html")
+                .cache()
+            )
+        else:
+            fetched = s.createDataFrame([], "url string, ts_logical long, html binary").cache()
+
+        # per-url fetch result: count, cursor, latest snapshot html
+        res = fetched.groupBy("url").agg(
+            F.count("*").alias("n_results"),
+            F.max("ts_logical").alias("new_cursor"),
+            F.max_by("html", "ts_logical").alias("latest_html"),
+        ).cache()
+
+        # ---- outlink extraction (one fused Arrow pass) + canonicalize --------
+        def _extract(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                html_str = decode_html(pdf["html"])
+                links = extract_links(html_str)
+                if not len(links):
+                    continue
+                src = pdf["url"].reset_index(drop=True)
+                links = links.reset_index(level=1, drop=True)
+                out = pd.DataFrame(
+                    {
+                        "src_url": src.iloc[links.index].to_numpy(),
+                        "href": links["href"].to_numpy(),
+                        "anchor": links["anchor"].to_numpy(),
+                    }
+                )
+                yield out
+
+        raw_links = fetched.select("url", "html").mapInPandas(
+            _extract, "src_url string, href string, anchor string"
+        )
+        red = F.broadcast(self.redirects)
+        links = (
+            raw_links.withColumn("dst", canonicalize_udf("href", "src_url"))
+            .where(F.col("dst").isNotNull())
+            .join(red, F.col("dst") == F.col("short_url"), "left")
+            .withColumn("dst", F.coalesce("long_url", "dst"))
+            .drop("short_url", "long_url", "href")
+            .where(F.col("dst") != F.col("src_url"))
+        )
+        outlinks = links.groupBy("src_url", "dst").agg(F.min("anchor").alias("anchor")).cache()
+
+        # ---- edges + docs appends --------------------------------------------
+        edges_new = outlinks.select(
+            "src_url",
+            F.col("dst").alias("dst_url"),
+            "anchor",
+            F.lit(r).alias("round"),
+            F.lit(t_r).cast("long").alias("ts"),
+        )
+        docs_all = self.store.read_log(s, "docs", prev)
+        first_fetch = res
+        if docs_all is not None:
+            first_fetch = res.join(docs_all.select("url"), "url", "left_anti")
+        docs_new = (
+            first_fetch.withColumn("html_str", F.decode("latest_html", "UTF-8"))
+            .withColumn(
+                "text",
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace("html_str", "<[^>]*>", " "), "\\s+", " "
+                    )
+                ),
+            )
+            .select(
+                "url",
+                F.lit(r).alias("round"),
+                "text",
+                F.sha2(F.encode("text", "UTF-8"), 256).alias("text_sha256"),
+            )
+        )
+
+        # ---- OPIC gains (integer cash, order-independent) ---------------------
+        outdeg = outlinks.groupBy("src_url").agg(F.count("*").alias("outdeg"))
+        gains = (
+            outlinks.join(outdeg, "src_url")
+            .join(popped.select(F.col("url").alias("src_url"), "score"), "src_url")
+            .withColumn("gain", F.expr("score div outdeg"))
+            .groupBy("dst")
+            .agg(F.sum("gain").alias("gain"))
+        )
+
+        # ---- candidate scheduling: robots → seen tiers → exact anti-join ------
+        parent_depth = outlinks.join(
+            popped.select(F.col("url").alias("src_url"), F.col("depth").alias("pdepth")),
+            "src_url",
+        ).groupBy("dst").agg(F.min("pdepth").alias("parent_depth"))
+        n_candidates = parent_depth.count()
+
+        allowed = self._robots_allow(parent_depth, "dst").cache()
+        n_blocked = allowed.where(~F.col("allowed")).count()
+        cand = (
+            parent_depth.join(allowed.where("allowed").select("dst"), "dst")
+            .withColumn("url_hash", murmur3_64_udf("dst"))
+            .withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
+        )
+
+        seen_all = self.store.read_log(s, "url_seen", prev)
+        bloom_prev = self.store.bloom_dir(prev) if self.use_filters else None
+        if self.use_filters:
+            check = make_seen_check_fn(bloom_prev)
+            flagged = cand.groupBy("bucket").applyInPandas(
+                check,
+                "dst string, parent_depth int, url_hash long, bucket int, seen_flag int",
+            ).cache()
+            fast_new = flagged.where("seen_flag < 2").drop("seen_flag")
+            need_exact = flagged.where("seen_flag = 2").drop("seen_flag")
+            n_bloom_neg = flagged.where("seen_flag = 0").count()
+            n_cuckoo_rej = flagged.where("seen_flag = 1").count()
+            exact_new = need_exact.join(
+                seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
+            )
+            new_urls = fast_new.unionByName(exact_new).cache()
+        else:
+            n_bloom_neg = n_cuckoo_rej = 0
+            new_urls = cand.join(
+                seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
+            ).cache()
+        n_new = new_urls.count()
+        n_dupes = n_candidates - n_blocked - n_new
+
+        new_rows = new_urls.select(
+            F.col("dst").alias("url"),
+            "url_hash",
+            _host_col(F.col("dst")).alias("host"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            F.lit(cfg.init_cash).cast("long").alias("score"),
+            F.lit(0).alias("attempt"),
+            F.lit(t_r + cfg.intervals[0]).cast("long").alias("next_fetch_ts"),
+            F.lit(-1).cast("long").alias("last_cursor"),
+            F.lit(r).alias("src_round"),
+        )
+
+        # ---- reinsert / evict / retire ------------------------------------------
+        popped_res = (
+            popped.join(res.select("url", "n_results", "new_cursor"), "url", "left")
+            .withColumn("n_results", F.coalesce("n_results", F.lit(0)))
+            .withColumn("new_cursor", F.coalesce("new_cursor", "last_cursor"))
+        ).cache()
+        evict_cond = (
+            (F.col("n_results") == 0)
+            & (F.col("attempt") >= 1)
+            & F.lit(cfg.evict_unproductive and not cfg.crawl_once)
+        )
+        retire_cond = F.col("attempt") + 1 >= cfg.max_attempts
+        n_evicted = popped_res.where(evict_cond).count()
+        evictions = popped_res.where(evict_cond).select(
+            "url", F.lit(r).alias("round")
+        )
+        intervals_arr = F.array(*[F.lit(int(x)) for x in cfg.intervals])
+        reinserted = (
+            popped_res.where(~evict_cond & ~retire_cond & F.lit(not cfg.crawl_once))
+            .select(
+                "url", "url_hash", "host", "depth",
+                F.when(F.col("n_results") > 0, F.lit(0))
+                .otherwise(F.col("score")).cast("long").alias("score"),
+                (F.col("attempt") + 1).alias("attempt"),
+                (F.lit(t_r) + F.element_at(intervals_arr, F.col("attempt") + 2))
+                .cast("long").alias("next_fetch_ts"),
+                F.col("new_cursor").alias("last_cursor"),
+                "src_round",
+            )
+        )
+
+        # ---- next frontier + gains ------------------------------------------------
+        pending = frontier.join(popped.select("url"), "url", "left_anti")
+        f_next = (
+            pending.unionByName(reinserted).unionByName(new_rows)
+            .join(gains.withColumnRenamed("dst", "url"), "url", "left")
+            .withColumn("score", (F.col("score") + F.coalesce("gain", F.lit(0))).cast("long"))
+            .drop("gain")
+            .select(*[f.name for f in schemas.FRONTIER.fields])
+        ).cache()
+        frontier_n = f_next.count()
+
+        # ---- hosts state ------------------------------------------------------------
+        fetched_hosts = popped.select("host").distinct().withColumn("_f", F.lit(1))
+        hosts_known = (
+            hosts.join(fetched_hosts, "host", "left")
+            .withColumn(
+                "last_fetch_round",
+                F.when(F.col("_f").isNotNull(), F.lit(r)).otherwise(F.col("last_fetch_round")),
+            )
+            .drop("_f")
+        )
+        hosts_new = (
+            new_rows.select("host").distinct()
+            .join(hosts.select("host"), "host", "left_anti")
+            .withColumn("budget_per_round", F.lit(cfg.default_budget))
+            .withColumn("crawl_delay_rounds", F.lit(cfg.default_crawl_delay))
+            .withColumn("last_fetch_round", F.lit(None).cast("int"))
+        )
+        hosts_next = hosts_known.unionByName(hosts_new)
+
+        # ---- write round outputs ------------------------------------------------------
+        st = self.store
+        st.write_round(f_next, "frontier", r)
+        st.write_round(hosts_next, "hosts", r)
+        st.write_round(
+            new_rows.select("url_hash", "url", F.lit(r).alias("first_round")), "url_seen", r
+        )
+        st.write_round(edges_new, "edges", r)
+        st.write_round(docs_new, "docs", r)
+        st.write_round(
+            popped.select(
+                F.lit(r).alias("round"), "seq", "url", "host", "depth", "score", "attempt"
+            ),
+            "crawl_log",
+            r,
+        )
+        st.write_round(evictions, "evictions", r)
+
+        # ---- bloom/cuckoo sidecars: copy-forward + per-bucket executor update ----
+        if self.use_filters:
+            new_dir = st.bloom_dir(r)
+            os.makedirs(new_dir, exist_ok=True)
+            prev_dir = st.bloom_dir(prev)
+            if os.path.isdir(prev_dir):
+                for fn in os.listdir(prev_dir):
+                    if fn.endswith(".npz"):
+                        shutil.copy(os.path.join(prev_dir, fn), os.path.join(new_dir, fn))
+            if n_new:
+                upd = make_seen_update_fn(prev_dir, new_dir, cfg)
+                (
+                    new_rows.select("url_hash", F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"))
+                    .groupBy("bucket")
+                    .applyInPandas(upd, "bucket int, added long, overflowed boolean")
+                    .collect()
+                )
+
+        # ---- per-partition lineage + metrics --------------------------------------
+        wall_ms = int((time.time() - t0) * 1000)
+        lineage = json.dumps(
+            {
+                "round": r,
+                "inputs": [st.round_dir("frontier", prev), self.pages_path],
+                "bloom": st.bloom_dir(prev) if self.use_filters else None,
+            }
+        )
+        part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
+        per_part = (
+            popped.select(part).groupBy("partition_id").agg(F.count("*").alias("fetched"))
+            .join(
+                popped_res.where("n_results > 0").select(part).groupBy("partition_id")
+                .agg(F.count("*").alias("hits")),
+                "partition_id", "full",
+            )
+            .join(
+                popped_res.select(part, "n_results").groupBy("partition_id")
+                .agg(F.sum("n_results").alias("results")),
+                "partition_id", "full",
+            )
+            .join(
+                new_rows.select(part).groupBy("partition_id").agg(F.count("*").alias("new_urls")),
+                "partition_id", "full",
+            )
+            .toPandas()
+        )
+        per_part = per_part.fillna(0)
+        rows = []
+        for _, row in per_part.iterrows():
+            rows.append(
+                (
+                    r, int(row.partition_id), int(row.fetched), int(row.hits),
+                    int(row.results), int(row.new_urls), 0, 0, 0, 0, 0, wall_ms, lineage,
+                )
+            )
+        # round-level totals on partition_id = -1
+        rows.append(
+            (
+                r, -1, n_popped,
+                int(per_part.hits.sum()) if len(per_part) else 0,
+                int(per_part.results.sum()) if len(per_part) else 0,
+                n_new, n_dupes, n_blocked, n_evicted, n_bloom_neg, n_cuckoo_rej,
+                wall_ms, lineage,
+            )
+        )
+        metrics_df = self.spark.createDataFrame(rows, schemas.ROUND_METRICS)
+        st.write_round(metrics_df, "round_metrics", r)
+
+        # ---- atomic snapshot commit ---------------------------------------------------
+        st.commit(
+            r,
+            {
+                "popped": n_popped,
+                "new_urls": n_new,
+                "frontier": frontier_n,
+                "wall_ms": wall_ms,
+            },
+        )
+        for df in (popped, fetched, res, outlinks, popped_res, f_next, hosts):
+            df.unpersist()
+        return frontier_n
+
+    # ------------------------------------------------------------------ outputs
+
+    def crawl_log(self) -> DataFrame:
+        return self.store.read_log(
+            self.spark, "crawl_log", self.store.committed_round()
+        )
+
+    def url_seen(self) -> DataFrame:
+        return self.store.read_log(self.spark, "url_seen", self.store.committed_round())
+
+    def edges(self) -> DataFrame:
+        return self.store.read_log(self.spark, "edges", self.store.committed_round())
+
+    def docs(self) -> DataFrame:
+        return self.store.read_log(self.spark, "docs", self.store.committed_round())
+
+    def evictions(self) -> DataFrame:
+        return self.store.read_log(self.spark, "evictions", self.store.committed_round())
+
+    def round_metrics(self) -> DataFrame:
+        return self.store.read_log(
+            self.spark, "round_metrics", self.store.committed_round()
+        )

@@ -1,0 +1,222 @@
+"""URL-seen membership at scale (SURVEY.md §2.3 D1-D4).
+
+Replaces the reference's three independent dedup mechanisms — Redis
+``hexists`` (storages/RedisFutureStorage.scala:29), the in-memory ``urlSet``
+(storages/FutureTasksStorage.scala:17) and Lucene ``isNew`` probes
+(storages/GraphStorage.scala:134-141, TweetStorage.scala:53-60) — with a
+three-tier membership test sharded by ``murmur3_64(url) % P``:
+
+1. **Partitioned bloom filter** (bitmap sidecar per shard, persisted and
+   versioned with each snapshot round): bloom-NEGATIVE candidates are
+   *definitely new* and skip everything else.
+2. **Cuckoo verification shard** (16-bit fingerprints, 4-slot buckets):
+   bloom-positive candidates that the cuckoo filter rejects are also new
+   (cuckoo has no false negatives while inserts succeed; an overflowed shard
+   flags itself and is bypassed).
+3. **Exact anti-join** against the ``url_seen`` table — the final arbiter for
+   the doubly-positive slice (exactness is mandated by the north rule).
+
+Shards are loaded *per bucket inside executor tasks* (``applyInPandas`` over
+a bucket-grouped DataFrame), so at 10^10 urls each task touches only its own
+~MBs-sized sidecar, never a global structure. Sidecars are copy-forward
+versioned per round (``bloom/r=k/bucket=N.npz``) so resume always reads
+filters consistent with the committed snapshot (SURVEY.md §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+
+class SeenShard:
+    """Bloom bitmap + cuckoo filter for one url_hash bucket."""
+
+    def __init__(
+        self,
+        bloom_bits: int,
+        num_hashes: int,
+        cuckoo_buckets: int,
+        cuckoo_slots: int,
+        bits: np.ndarray | None = None,
+        cuckoo: np.ndarray | None = None,
+        overflowed: bool = False,
+    ):
+        assert bloom_bits % 64 == 0 and cuckoo_buckets & (cuckoo_buckets - 1) == 0
+        self.m = bloom_bits
+        self.k = num_hashes
+        self.bits = bits if bits is not None else np.zeros(bloom_bits // 64, np.uint64)
+        self.cb = cuckoo_buckets
+        self.cs = cuckoo_slots
+        self.cuckoo = (
+            cuckoo if cuckoo is not None else np.zeros((cuckoo_buckets, cuckoo_slots), np.uint16)
+        )
+        self.overflowed = overflowed
+
+    # --- hashing: reuse the two murmur3_32 halves inside the 64-bit url_hash ---
+
+    def _h12(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h = h.astype(np.int64).view(np.uint64)
+        h1 = (h >> np.uint64(32)).astype(np.uint64)
+        h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)  # odd → full cycle
+        return h1, h2
+
+    # --- bloom -------------------------------------------------------------------
+
+    def bloom_add(self, hashes: np.ndarray) -> None:
+        h1, h2 = self._h12(hashes)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            np.bitwise_or.at(
+                self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+
+    def bloom_contains(self, hashes: np.ndarray) -> np.ndarray:
+        h1, h2 = self._h12(hashes)
+        out = np.ones(len(hashes), bool)
+        for i in range(self.k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
+            word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+            out &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return out
+
+    # --- cuckoo ---------------------------------------------------------------------
+
+    def _fp_idx(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        hu = h.astype(np.int64).view(np.uint64)
+        fp = ((hu >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = (hu & np.uint64(self.cb - 1)).astype(np.int64)
+        alt = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(self.cb - 1)
+        i2 = (i1 ^ alt.astype(np.int64)) & (self.cb - 1)
+        return fp, i1, i2
+
+    def cuckoo_add(self, hashes: np.ndarray, max_kicks: int = 200) -> None:
+        fps, i1s, i2s = self._fp_idx(hashes)
+        for fp, i1, i2 in zip(fps, i1s, i2s):
+            if self.overflowed:
+                return
+            placed = False
+            for b in (i1, i2):
+                row = self.cuckoo[b]
+                if fp in row:  # already present
+                    placed = True
+                    break
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = fp
+                    placed = True
+                    break
+            if placed:
+                continue
+            b, f = int(i1), int(fp)
+            for kick in range(max_kicks):
+                slot = kick % self.cs
+                f, self.cuckoo[b, slot] = int(self.cuckoo[b, slot]), f
+                alt = (f * 0x5BD1E995) & (self.cb - 1)
+                b = b ^ alt
+                row = self.cuckoo[b]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = f
+                    f = 0
+                    break
+            if f != 0:
+                self.overflowed = True  # shard unreliable → bypassed on reads
+
+    def cuckoo_contains(self, hashes: np.ndarray) -> np.ndarray:
+        if self.overflowed:
+            return np.ones(len(hashes), bool)  # can't prove absence
+        fp, i1, i2 = self._fp_idx(hashes)
+        in1 = (self.cuckoo[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.cuckoo[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    # --- add both ------------------------------------------------------------------
+
+    def add(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        self.bloom_add(hashes)
+        self.cuckoo_add(hashes)
+
+    # --- persistence ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp.npz"  # np.savez requires/infers the suffix
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f,
+                bits=self.bits,
+                cuckoo=self.cuckoo,
+                meta=np.array([self.m, self.k, self.cb, self.cs, int(self.overflowed)]),
+            )
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SeenShard":
+        z = np.load(path)
+        m, k, cb, cs, ov = (int(x) for x in z["meta"])
+        return cls(m, k, cb, cs, bits=z["bits"], cuckoo=z["cuckoo"], overflowed=bool(ov))
+
+
+def shard_path(bloom_dir: str, bucket: int) -> str:
+    return os.path.join(bloom_dir, f"bucket={bucket}.npz")
+
+
+def make_seen_check_fn(prev_bloom_dir: str | None):
+    """applyInPandas fn over candidates grouped by ``bucket``: classify each
+    candidate as 0 = bloom-negative (definitely new), 1 = cuckoo-negative
+    (new), 2 = needs the exact anti-join."""
+
+    def check(pdf: pd.DataFrame) -> pd.DataFrame:
+        flags = np.full(len(pdf), 2, np.int32)
+        if prev_bloom_dir is not None and len(pdf):
+            bucket = int(pdf["bucket"].iloc[0])
+            p = shard_path(prev_bloom_dir, bucket)
+            if os.path.exists(p):
+                shard = SeenShard.load(p)
+                h = pdf["url_hash"].to_numpy(np.int64)
+                pos = shard.bloom_contains(h)
+                flags[~pos] = 0
+                if pos.any():
+                    ver = shard.cuckoo_contains(h[pos])
+                    idx = np.nonzero(pos)[0]
+                    flags[idx[~ver]] = 1
+            else:  # empty shard so far → everything new
+                flags[:] = 0
+        pdf = pdf.copy()
+        pdf["seen_flag"] = flags
+        return pdf
+
+    return check
+
+
+def make_seen_update_fn(prev_bloom_dir: str | None, new_bloom_dir: str, cfg):
+    """applyInPandas fn over NEW urls grouped by ``bucket``: load the bucket's
+    previous sidecar, add the new hashes, write the versioned sidecar for this
+    round. Runs inside executor tasks — each task touches one shard file."""
+
+    def update(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        prev = shard_path(prev_bloom_dir, bucket) if prev_bloom_dir else None
+        if prev and os.path.exists(prev):
+            shard = SeenShard.load(prev)
+        else:
+            shard = SeenShard(
+                cfg.bloom_bits_per_partition,
+                cfg.bloom_num_hashes,
+                cfg.cuckoo_buckets_per_partition,
+                cfg.cuckoo_slots,
+            )
+        shard.add(pdf["url_hash"].to_numpy(np.int64))
+        os.makedirs(new_bloom_dir, exist_ok=True)
+        shard.save(shard_path(new_bloom_dir, bucket))
+        return pd.DataFrame(
+            {"bucket": [bucket], "added": [len(pdf)], "overflowed": [shard.overflowed]}
+        )
+
+    return update

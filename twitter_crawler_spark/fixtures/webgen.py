@@ -168,7 +168,11 @@ def generate_web(
             rows.append((urls[k], ts, html.encode("utf-8"), text, langs[k]))
 
     pages = pd.DataFrame(rows, columns=["url", "ts_logical", "html", "text", "lang"])
-    pages["warc_ts"] = pd.to_datetime(pages["ts_logical"] + EPOCH_BASE, unit="s")
+    # UTC-aware microsecond instants: Spark cannot read TIMESTAMP(NANOS), and
+    # tz-naive values would surface as TIMESTAMP_NTZ instead of TimestampType
+    pages["warc_ts"] = pd.to_datetime(
+        pages["ts_logical"] + EPOCH_BASE, unit="s", utc=True
+    ).astype("datetime64[us, UTC]")
     pages["bucket"] = (
         np.asarray(murmur3_64(pages["url"]), dtype=np.int64) % pages_buckets
         + pages_buckets

@@ -84,7 +84,8 @@ class FrontierOracle:
         parts = sorted(glob.glob(os.path.join(self.dir, "pages", "bucket=*", "*.parquet")))
         pages = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         pages["ts_logical"] = (
-            pages["warc_ts"].astype("int64") // 1_000_000_000 - EPOCH_BASE
+            pages["warc_ts"].astype("datetime64[ns, UTC]").astype("int64") // 1_000_000_000
+            - EPOCH_BASE
         )
         self.pages: dict[str, list[tuple[int, str, str, str]]] = {}
         for url, grp in pages.groupby("url", sort=False):
