@@ -32,6 +32,16 @@ import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+_TIMING = os.environ.get("TCS_TIMING", "") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    """Stage-timing probe (enabled via TCS_TIMING=1); returns now."""
+    now = time.time()
+    if _TIMING:
+        print(f"    [timing] {label}: {now - t0:.2f}s", flush=True)
+    return now
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -192,6 +202,7 @@ class CrawlEngine:
         prev = r - 1
         frontier = self.store.read_state(s, "frontier", prev)
         hosts = self.store.read_state(s, "hosts", prev).cache()
+        _t = time.time()
 
         # ---- pop: due filter + crawl-delay + salted per-host budget window ----
         due = (
@@ -226,9 +237,15 @@ class CrawlEngine:
                 "url", "url_hash", "host", "depth", "score", "attempt",
                 "next_fetch_ts", "last_cursor", "src_round", "seq",
             )
-            .cache()
+            # materialize ONCE and cut lineage: the popped batch is consumed by
+            # five downstream stages; without this every action would replay
+            # the frontier scan + double window sort (local checkpoint = the
+            # per-round dataflow barrier; durability comes from the snapshot
+            # store, not from this)
+            .localCheckpoint()
         )
         n_popped = popped.count()
+        _t = _tlog("pop", _t)
 
         # ---- fetch join: bucket partition pruning + broadcast of the batch ----
         lang_ok = F.lit(True) if cfg.lang_filter is None else (F.col("lang") == cfg.lang_filter)
@@ -249,17 +266,18 @@ class CrawlEngine:
                     & lang_ok
                 )
                 .select("url", "ts_logical", "html")
-                .cache()
+                .localCheckpoint()
             )
         else:
-            fetched = s.createDataFrame([], "url string, ts_logical long, html binary").cache()
+            fetched = s.createDataFrame([], "url string, ts_logical long, html binary")
 
         # per-url fetch result: count, cursor, latest snapshot html
         res = fetched.groupBy("url").agg(
             F.count("*").alias("n_results"),
             F.max("ts_logical").alias("new_cursor"),
             F.max_by("html", "ts_logical").alias("latest_html"),
-        ).cache()
+        ).localCheckpoint()
+        _t = _tlog("fetch_join", _t)
 
         # ---- outlink extraction (one fused Arrow pass) + canonicalize --------
         def _extract(it):
@@ -293,7 +311,12 @@ class CrawlEngine:
             .drop("short_url", "long_url", "href")
             .where(F.col("dst") != F.col("src_url"))
         )
-        outlinks = links.groupBy("src_url", "dst").agg(F.min("anchor").alias("anchor")).cache()
+        outlinks = (
+            links.groupBy("src_url", "dst")
+            .agg(F.min("anchor").alias("anchor"))
+            .localCheckpoint()  # one Arrow extraction pass, many consumers
+        )
+        _t = _tlog("extract", _t)
 
         # ---- edges + docs appends --------------------------------------------
         edges_new = outlinks.select(
@@ -339,11 +362,13 @@ class CrawlEngine:
         parent_depth = outlinks.join(
             popped.select(F.col("url").alias("src_url"), F.col("depth").alias("pdepth")),
             "src_url",
-        ).groupBy("dst").agg(F.min("pdepth").alias("parent_depth"))
+        ).groupBy("dst").agg(F.min("pdepth").alias("parent_depth")).localCheckpoint()
         n_candidates = parent_depth.count()
+        _t = _tlog("candidates", _t)
 
-        allowed = self._robots_allow(parent_depth, "dst").cache()
+        allowed = self._robots_allow(parent_depth, "dst").localCheckpoint()
         n_blocked = allowed.where(~F.col("allowed")).count()
+        _t = _tlog("robots", _t)
         cand = (
             parent_depth.join(allowed.where("allowed").select("dst"), "dst")
             .withColumn("url_hash", murmur3_64_udf("dst"))
@@ -357,21 +382,26 @@ class CrawlEngine:
             flagged = cand.groupBy("bucket").applyInPandas(
                 check,
                 "dst string, parent_depth int, url_hash long, bucket int, seen_flag int",
-            ).cache()
+            ).localCheckpoint()
+            flag_counts = {
+                row["seen_flag"]: row["count"]
+                for row in flagged.groupBy("seen_flag").count().collect()
+            }
+            n_bloom_neg = flag_counts.get(0, 0)
+            n_cuckoo_rej = flag_counts.get(1, 0)
             fast_new = flagged.where("seen_flag < 2").drop("seen_flag")
             need_exact = flagged.where("seen_flag = 2").drop("seen_flag")
-            n_bloom_neg = flagged.where("seen_flag = 0").count()
-            n_cuckoo_rej = flagged.where("seen_flag = 1").count()
             exact_new = need_exact.join(
                 seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
             )
-            new_urls = fast_new.unionByName(exact_new).cache()
+            new_urls = fast_new.unionByName(exact_new).localCheckpoint()
         else:
             n_bloom_neg = n_cuckoo_rej = 0
             new_urls = cand.join(
                 seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
-            ).cache()
+            ).localCheckpoint()
         n_new = new_urls.count()
+        _t = _tlog("seen_tiers", _t)
         n_dupes = n_candidates - n_blocked - n_new
 
         new_rows = new_urls.select(
@@ -391,7 +421,7 @@ class CrawlEngine:
             popped.join(res.select("url", "n_results", "new_cursor"), "url", "left")
             .withColumn("n_results", F.coalesce("n_results", F.lit(0)))
             .withColumn("new_cursor", F.coalesce("new_cursor", "last_cursor"))
-        ).cache()
+        ).localCheckpoint()
         evict_cond = (
             (F.col("n_results") == 0)
             & (F.col("attempt") >= 1)
@@ -425,8 +455,9 @@ class CrawlEngine:
             .withColumn("score", (F.col("score") + F.coalesce("gain", F.lit(0))).cast("long"))
             .drop("gain")
             .select(*[f.name for f in schemas.FRONTIER.fields])
-        ).cache()
+        ).localCheckpoint()
         frontier_n = f_next.count()
+        _t = _tlog("frontier_next", _t)
 
         # ---- hosts state ------------------------------------------------------------
         fetched_hosts = popped.select("host").distinct().withColumn("_f", F.lit(1))
@@ -464,6 +495,7 @@ class CrawlEngine:
             r,
         )
         st.write_round(evictions, "evictions", r)
+        _t = _tlog("writes", _t)
 
         # ---- bloom/cuckoo sidecars: copy-forward + per-bucket executor update ----
         if self.use_filters:
@@ -482,6 +514,7 @@ class CrawlEngine:
                     .applyInPandas(upd, "bucket int, added long, overflowed boolean")
                     .collect()
                 )
+            _t = _tlog("bloom_update", _t)
 
         # ---- per-partition lineage + metrics --------------------------------------
         wall_ms = int((time.time() - t0) * 1000)
@@ -492,46 +525,49 @@ class CrawlEngine:
                 "bloom": st.bloom_dir(prev) if self.use_filters else None,
             }
         )
+        # two single-stage jobs over already-materialized round DataFrames
+        # (popped_res / new_urls are local checkpoints — no recomputation)
         part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
-        per_part = (
-            popped.select(part).groupBy("partition_id").agg(F.count("*").alias("fetched"))
-            .join(
-                popped_res.where("n_results > 0").select(part).groupBy("partition_id")
-                .agg(F.count("*").alias("hits")),
-                "partition_id", "full",
-            )
-            .join(
-                popped_res.select(part, "n_results").groupBy("partition_id")
-                .agg(F.sum("n_results").alias("results")),
-                "partition_id", "full",
-            )
-            .join(
-                new_rows.select(part).groupBy("partition_id").agg(F.count("*").alias("new_urls")),
-                "partition_id", "full",
-            )
-            .toPandas()
-        )
-        per_part = per_part.fillna(0)
+        pop_stats = {
+            int(row["partition_id"]): row
+            for row in popped_res.groupBy(part).agg(
+                F.count("*").alias("fetched"),
+                F.sum((F.col("n_results") > 0).cast("long")).alias("hits"),
+                F.sum("n_results").alias("results"),
+            ).collect()
+        }
+        new_stats = {
+            int(row["partition_id"]): int(row["new_urls"])
+            for row in new_urls.groupBy(part).agg(
+                F.count("*").alias("new_urls")
+            ).collect()
+        }
         rows = []
-        for _, row in per_part.iterrows():
+        total_hits = total_results = 0
+        for pid in sorted(set(pop_stats) | set(new_stats)):
+            p = pop_stats.get(pid)
+            fetched_n = int(p["fetched"]) if p else 0
+            hits_n = int(p["hits"]) if p else 0
+            results_n = int(p["results"]) if p else 0
+            total_hits += hits_n
+            total_results += results_n
             rows.append(
                 (
-                    r, int(row.partition_id), int(row.fetched), int(row.hits),
-                    int(row.results), int(row.new_urls), 0, 0, 0, 0, 0, wall_ms, lineage,
+                    r, pid, fetched_n, hits_n, results_n,
+                    new_stats.get(pid, 0), 0, 0, 0, 0, 0, wall_ms, lineage,
                 )
             )
         # round-level totals on partition_id = -1
         rows.append(
             (
-                r, -1, n_popped,
-                int(per_part.hits.sum()) if len(per_part) else 0,
-                int(per_part.results.sum()) if len(per_part) else 0,
+                r, -1, n_popped, total_hits, total_results,
                 n_new, n_dupes, n_blocked, n_evicted, n_bloom_neg, n_cuckoo_rej,
                 wall_ms, lineage,
             )
         )
         metrics_df = self.spark.createDataFrame(rows, schemas.ROUND_METRICS)
         st.write_round(metrics_df, "round_metrics", r)
+        _t = _tlog("metrics", _t)
 
         # ---- atomic snapshot commit ---------------------------------------------------
         st.commit(
@@ -543,8 +579,7 @@ class CrawlEngine:
                 "wall_ms": wall_ms,
             },
         )
-        for df in (popped, fetched, res, outlinks, popped_res, f_next, hosts):
-            df.unpersist()
+        hosts.unpersist()
         return frontier_n
 
     # ------------------------------------------------------------------ outputs
