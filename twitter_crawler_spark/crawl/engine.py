@@ -73,6 +73,11 @@ class CrawlEngine:
         self.fx = fixture_dir
         self.store = SnapshotStore(state_dir)
         self.use_filters = use_filters
+        # in-memory carry of the previous round's checkpointed state tables —
+        # purely an optimization: the parquet written per round is the source
+        # of truth (resume always reads it); the carried DataFrames are local
+        # checkpoints, so no lineage chains across rounds
+        self._mem: dict[tuple[str, int], DataFrame] = {}
         self._load_static()
 
     # ------------------------------------------------------------------ inputs
@@ -105,11 +110,16 @@ class CrawlEngine:
 
     # ------------------------------------------------------------- robots filter
 
-    def _robots_allow(self, df: DataFrame, url_col: str = "url") -> DataFrame:
-        """Longest-prefix robots evaluation as a broadcast join + max_by —
-        no UDF (north rule lists robots; the reference's closest analog is the
-        340-pattern shortener predicate, utils/RedisUrlEnlarger.scala:40-48,
-        which SURVEY.md P7 likewise maps to a broadcast join)."""
+    def _robots_join(self, df: DataFrame, url_col: str):
+        """Broadcast-join candidate urls against per-host robots rules and
+        return ``(joined_df, rule_col)`` where ``max(rule_col)`` per url picks
+        the longest matching prefix (ties → disallow wins; no match → null →
+        allow). Exposed as a join + agg-expression pair so callers can fuse
+        robots evaluation into an aggregation they already do over the same
+        keys — one shuffle instead of two. No UDF (north rule lists robots;
+        the reference's closest analog is the 340-pattern shortener predicate,
+        utils/RedisUrlEnlarger.scala:40-48, which SURVEY.md P7 likewise maps
+        to a broadcast join)."""
         u = F.col(url_col)
         df = df.withColumn("_host", _host_col(u)).withColumn(
             "_path",
@@ -119,9 +129,7 @@ class CrawlEngine:
             ),
         )
         r = F.broadcast(self.robots)
-        j = df.join(r, df._host == r.host, "left")
-        # longest matching prefix wins; equal length → disallow wins; a url
-        # with no matching rule keeps its left-join row (null rule) → allow.
+        j = df.join(r, df._host == r.host, "left").drop("host")
         matching = F.col("prefix").isNotNull() & F.col("_path").startswith(F.col("prefix"))
         rule = F.when(
             matching,
@@ -131,6 +139,11 @@ class CrawlEngine:
                 F.col("allow").alias("allow"),
             ),
         )  # otherwise null — ignored by max()
+        return j, rule
+
+    def _robots_allow(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Longest-prefix robots verdict per url: ``(url_col, allowed)``."""
+        j, rule = self._robots_join(df, url_col)
         grouped = j.groupBy(url_col).agg(F.max(rule).alias("best"))
         return grouped.withColumn(
             "allowed", F.coalesce(F.col("best.allow"), F.lit(True))
@@ -200,8 +213,12 @@ class CrawlEngine:
         t0 = time.time()
         t_r = r * cfg.round_tick
         prev = r - 1
-        frontier = self.store.read_state(s, "frontier", prev)
-        hosts = self.store.read_state(s, "hosts", prev).cache()
+        frontier = self._mem.get(("frontier", prev))
+        if frontier is None:
+            frontier = self.store.read_state(s, "frontier", prev)
+        hosts = self._mem.get(("hosts", prev))
+        if hosts is None:
+            hosts = self.store.read_state(s, "hosts", prev).localCheckpoint()
         _t = time.time()
 
         # ---- pop: due filter + crawl-delay + salted per-host budget window ----
@@ -244,18 +261,17 @@ class CrawlEngine:
             # store, not from this)
             .localCheckpoint()
         )
-        n_popped = popped.count()
+        # one job: batch size + the page buckets it touches (for partition pruning)
+        bucket_counts = popped.groupBy(
+            F.pmod("url_hash", F.lit(cfg.pages_buckets)).alias("b")
+        ).count().collect()
+        n_popped = sum(int(row["count"]) for row in bucket_counts)
         _t = _tlog("pop", _t)
 
         # ---- fetch join: bucket partition pruning + broadcast of the batch ----
         lang_ok = F.lit(True) if cfg.lang_filter is None else (F.col("lang") == cfg.lang_filter)
         if n_popped:
-            buckets = [
-                row[0]
-                for row in popped.select(
-                    F.pmod("url_hash", F.lit(cfg.pages_buckets)).alias("b")
-                ).distinct().collect()
-            ]
+            buckets = [int(row["b"]) for row in bucket_counts]
             fetched = (
                 self._pages()
                 .where(F.col("bucket").isin(buckets))
@@ -358,19 +374,22 @@ class CrawlEngine:
             .agg(F.sum("gain").alias("gain"))
         )
 
-        # ---- candidate scheduling: robots → seen tiers → exact anti-join ------
-        parent_depth = outlinks.join(
+        # ---- candidate scheduling: ONE fused aggregation computes, per distinct
+        # candidate url, both the min parent depth and the winning robots rule —
+        # robots evaluation rides the dedup shuffle of the outlink set, then the
+        # bloom/cuckoo flags are attached in the same pass before a single
+        # materialization. Fewer passes over the candidate set is exactly what
+        # matters at 10^10 candidates/round.
+        cand0 = outlinks.join(
             popped.select(F.col("url").alias("src_url"), F.col("depth").alias("pdepth")),
             "src_url",
-        ).groupBy("dst").agg(F.min("pdepth").alias("parent_depth")).localCheckpoint()
-        n_candidates = parent_depth.count()
-        _t = _tlog("candidates", _t)
-
-        allowed = self._robots_allow(parent_depth, "dst").localCheckpoint()
-        n_blocked = allowed.where(~F.col("allowed")).count()
-        _t = _tlog("robots", _t)
+        ).select("dst", "pdepth")
+        j, rule = self._robots_join(cand0, "dst")
         cand = (
-            parent_depth.join(allowed.where("allowed").select("dst"), "dst")
+            j.groupBy("dst")
+            .agg(F.min("pdepth").alias("parent_depth"), F.max(rule).alias("best"))
+            .withColumn("allowed", F.coalesce(F.col("best.allow"), F.lit(True)))
+            .drop("best")
             .withColumn("url_hash", murmur3_64_udf("dst"))
             .withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
         )
@@ -381,25 +400,30 @@ class CrawlEngine:
             check = make_seen_check_fn(bloom_prev)
             flagged = cand.groupBy("bucket").applyInPandas(
                 check,
-                "dst string, parent_depth int, url_hash long, bucket int, seen_flag int",
+                "dst string, parent_depth int, allowed boolean,"
+                " url_hash long, bucket int, seen_flag int",
             ).localCheckpoint()
-            flag_counts = {
-                row["seen_flag"]: row["count"]
-                for row in flagged.groupBy("seen_flag").count().collect()
-            }
-            n_bloom_neg = flag_counts.get(0, 0)
-            n_cuckoo_rej = flag_counts.get(1, 0)
-            fast_new = flagged.where("seen_flag < 2").drop("seen_flag")
-            need_exact = flagged.where("seen_flag = 2").drop("seen_flag")
-            exact_new = need_exact.join(
-                seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
-            )
-            new_urls = fast_new.unionByName(exact_new).localCheckpoint()
         else:
-            n_bloom_neg = n_cuckoo_rej = 0
-            new_urls = cand.join(
-                seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
-            ).localCheckpoint()
+            flagged = cand.withColumn("seen_flag", F.lit(2)).localCheckpoint()
+        # one job: candidate/robots/bloom/cuckoo counters off the checkpoint
+        stats = flagged.groupBy("allowed", "seen_flag").count().collect()
+        n_candidates = sum(int(row["count"]) for row in stats)
+        n_blocked = sum(int(row["count"]) for row in stats if not row["allowed"])
+        n_bloom_neg = sum(
+            int(row["count"]) for row in stats
+            if row["allowed"] and row["seen_flag"] == 0 and self.use_filters
+        )
+        n_cuckoo_rej = sum(
+            int(row["count"]) for row in stats
+            if row["allowed"] and row["seen_flag"] == 1 and self.use_filters
+        )
+        ok = flagged.where("allowed").drop("allowed")
+        fast_new = ok.where("seen_flag < 2").drop("seen_flag")
+        need_exact = ok.where("seen_flag = 2").drop("seen_flag")
+        exact_new = need_exact.join(
+            seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
+        )
+        new_urls = fast_new.unionByName(exact_new).localCheckpoint()
         n_new = new_urls.count()
         _t = _tlog("seen_tiers", _t)
         n_dupes = n_candidates - n_blocked - n_new
@@ -428,7 +452,19 @@ class CrawlEngine:
             & F.lit(cfg.evict_unproductive and not cfg.crawl_once)
         )
         retire_cond = F.col("attempt") + 1 >= cfg.max_attempts
-        n_evicted = popped_res.where(evict_cond).count()
+        # one job: per-seen-partition fetch metrics + eviction count, all off
+        # the popped_res checkpoint (consumed again below for the metrics table)
+        part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
+        pop_stats = {
+            int(row["partition_id"]): row
+            for row in popped_res.groupBy(part).agg(
+                F.count("*").alias("fetched"),
+                F.sum((F.col("n_results") > 0).cast("long")).alias("hits"),
+                F.sum("n_results").alias("results"),
+                F.sum(evict_cond.cast("long")).alias("evicted"),
+            ).collect()
+        }
+        n_evicted = sum(int(row["evicted"]) for row in pop_stats.values())
         evictions = popped_res.where(evict_cond).select(
             "url", F.lit(r).alias("round")
         )
@@ -476,7 +512,7 @@ class CrawlEngine:
             .withColumn("crawl_delay_rounds", F.lit(cfg.default_crawl_delay))
             .withColumn("last_fetch_round", F.lit(None).cast("int"))
         )
-        hosts_next = hosts_known.unionByName(hosts_new)
+        hosts_next = hosts_known.unionByName(hosts_new).localCheckpoint()
 
         # ---- write round outputs ------------------------------------------------------
         st = self.store
@@ -525,17 +561,8 @@ class CrawlEngine:
                 "bloom": st.bloom_dir(prev) if self.use_filters else None,
             }
         )
-        # two single-stage jobs over already-materialized round DataFrames
-        # (popped_res / new_urls are local checkpoints — no recomputation)
-        part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
-        pop_stats = {
-            int(row["partition_id"]): row
-            for row in popped_res.groupBy(part).agg(
-                F.count("*").alias("fetched"),
-                F.sum((F.col("n_results") > 0).cast("long")).alias("hits"),
-                F.sum("n_results").alias("results"),
-            ).collect()
-        }
+        # one single-stage job over the already-materialized new_urls checkpoint
+        # (pop_stats was computed above, fused with the eviction count)
         new_stats = {
             int(row["partition_id"]): int(row["new_urls"])
             for row in new_urls.groupBy(part).agg(
@@ -579,7 +606,7 @@ class CrawlEngine:
                 "wall_ms": wall_ms,
             },
         )
-        hosts.unpersist()
+        self._mem = {("frontier", r): f_next, ("hosts", r): hosts_next}
         return frontier_n
 
     # ------------------------------------------------------------------ outputs
