@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` smoke-runs the flagship scheduler query at sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 plus the
+training-data pipeline tier (dedup / similarity / text stats / multimodal)
+for the DuckDB side-by-side correctness gate.
+
+Implementation lives in ``twitter_crawler_spark.ops``:
+
+* ops.analytics — scheduler/join/series/scan operators via the DataFrame API
+  (each cites its reference analog file:line in the module docstring);
+* ops.corpus — dedup / similarity / text statistics as Spark SQL
+  higher-order-function pipelines, generated for BOTH dialects from one
+  template module (ops.exprs) so the oracle can never drift;
+* ops.multimodal — binary-payload plumbing via mapInPandas (rows-only check).
+
+The crawl engine itself (twitter_crawler_spark.crawl) is validated by the
+pytest golden suite against the pure-Python frontier oracle (tests/), and
+benchmarked by bench.py — its iterative multi-round semantics don't fit a
+single-DataFrame/SQL pair.
 """
 
 from __future__ import annotations
@@ -13,26 +26,48 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from twitter_crawler_spark.ops.analytics import ANALYTICS_QUERIES
+from twitter_crawler_spark.ops.corpus import CORPUS_SQL
+from twitter_crawler_spark.ops.multimodal import q_multimodal_features
+
+_CORPUS_TABLES = ("documents", "embeddings")
+
+
+def _corpus_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    builder = CORPUS_SQL[name]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in _CORPUS_TABLES:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        return spark.sql(builder("spark"))
+
+    run.__name__ = f"q_{name}"
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the per-host politeness
+    budget pop window (the heart of the crawl scheduler, F5/F8)."""
+    fn, _ = ANALYTICS_QUERIES["host_budget_rank"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in ANALYTICS_QUERIES.items():
+        out[name] = fn
+    for name in CORPUS_SQL:
+        out[name] = _corpus_query(name)
+    out["multimodal_features"] = q_multimodal_features
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for name, (_fn, sql) in ANALYTICS_QUERIES.items():
+        if sql is not None:  # info_transfer: non-SQL (grouped Arrow UDF)
+            out[name] = sql
+    for name, builder in CORPUS_SQL.items():
+        out[name] = builder("duckdb")
+    # multimodal_features: non-SQL (mapInPandas decode stub) → rows-only
+    return out

@@ -1,0 +1,82 @@
+"""Operator-tier tests over the driver testdata (sf0.001).
+
+The SQL-expressible operators are gated by the driver's DuckDB side-by-side
+check (scripts/validate_entry.py replicates it); here we pin:
+* the full query registry runs and returns stable schemas;
+* the two non-SQL operators (info_transfer, multimodal_features) against
+  independent pure-pandas recomputations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from twitter_crawler_spark.ops.multimodal import features_reference
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_complete():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+    # non-SQL tier is the known, documented set
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"info_transfer", "multimodal_features"}
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["o_orderkey", "o_custkey", "rk"]
+
+
+def test_multimodal_features_match_reference(spark):
+    got = entrymod.queries()["multimodal_features"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = pd.DataFrame(
+        [features_reference(r.doc_id, r.text) for r in docs.itertuples()],
+        columns=["doc_id", "n_bytes", "width", "height", "mean_intensity", "frame_count"],
+    ).sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_info_transfer_matches_pandas(spark):
+    got = entrymod.queries()["info_transfer"](spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["tsl"] = (ev["ts"].astype("int64") // 10**9).astype(np.int64)
+    counts = ev.groupby("user_id").size().sort_values(ascending=False)
+    # top-8 with (count desc, user_id asc) tie-break
+    order = sorted(counts.index, key=lambda u: (-counts[u], u))[:8]
+    rows = []
+    for i, ua in enumerate(sorted(order)):
+        for ub in sorted(order):
+            if ua >= ub:
+                continue
+            a = np.sort(ev.loc[ev.user_id == ua, "tsl"].to_numpy())
+            b = np.sort(ev.loc[ev.user_id == ub, "tsl"].to_numpy())
+            for width in (3600, 21600):
+                lo = min(a.min(), b.min())
+                ba = np.unique((a - lo) // width)
+                bb = np.unique((b - lo) // width)
+                joint = len(np.intersect1d(ba, bb))
+                union = len(np.union1d(ba, bb))
+                rows.append((ua, ub, width, len(ba), len(bb), joint, round(joint / union, 6)))
+    want = pd.DataFrame(
+        rows,
+        columns=["user_a", "user_b", "bin_width", "bins_a", "bins_b", "joint_bins", "overlap"],
+    ).sort_values(["user_a", "user_b", "bin_width"]).reset_index(drop=True)
+    got = got.sort_values(["user_a", "user_b", "bin_width"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "lang_id", "token_count"])
+def test_corpus_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    assert df.count() > 0

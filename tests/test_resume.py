@@ -1,0 +1,74 @@
+"""Resumability (north rule: "resumes mid-round without re-fetching").
+
+* A crawl interrupted after round k and resumed in a NEW engine instance must
+  produce exactly the state a single uninterrupted run produces.
+* Crash debris (an uncommitted round directory) must be discarded on resume.
+* No committed round is ever re-fetched: the crawl_log contains each
+  (round, url) pop exactly once across the interrupted + resumed run.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+from tests.conftest import TEST_CFG
+from twitter_crawler_spark.crawl.engine import CrawlEngine
+
+ROUNDS = 4
+
+
+def _trace(eng):
+    return [
+        (r.round, r.seq, r.url) for r in eng.crawl_log().orderBy("round", "seq").collect()
+    ]
+
+
+def test_resume_equals_single_run(spark, fixture_dir, tmp_path_factory):
+    one = str(tmp_path_factory.mktemp("resume") / "oneshot")
+    eng1 = CrawlEngine(spark, fixture_dir, one, TEST_CFG)
+    eng1.run(max_rounds=ROUNDS)
+
+    two = str(tmp_path_factory.mktemp("resume") / "interrupted")
+    eng2a = CrawlEngine(spark, fixture_dir, two, TEST_CFG)
+    eng2a.run(max_rounds=2)
+    assert eng2a.store.committed_round() == 1
+
+    # fresh instance = process restart; must pick up from the snapshot
+    eng2b = CrawlEngine(spark, fixture_dir, two, TEST_CFG)
+    summary = eng2b.run(max_rounds=ROUNDS)
+    assert summary["start_round"] == 2
+
+    assert _trace(eng1) == _trace(eng2b)
+    seen1 = {r.url for r in eng1.url_seen().collect()}
+    seen2 = {r.url for r in eng2b.url_seen().collect()}
+    assert seen1 == seen2
+
+
+def test_zero_refetch_on_resume(spark, fixture_dir, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("resume") / "zrf")
+    CrawlEngine(spark, fixture_dir, state, TEST_CFG).run(max_rounds=2)
+    eng = CrawlEngine(spark, fixture_dir, state, TEST_CFG)
+    eng.run(max_rounds=ROUNDS)
+    pops = collections.Counter(
+        (r.round, r.url) for r in eng.crawl_log().collect()
+    )
+    dup = {k: c for k, c in pops.items() if c > 1}
+    assert not dup, f"re-fetched pops: {dup}"
+
+
+def test_uncommitted_debris_discarded(spark, fixture_dir, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("resume") / "debris")
+    eng = CrawlEngine(spark, fixture_dir, state, TEST_CFG)
+    eng.run(max_rounds=2)
+    committed = eng.store.committed_round()
+    # simulate a crash mid-round: orphan round dir the manifest never saw
+    orphan = eng.store.round_dir("crawl_log", committed + 1)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    eng2 = CrawlEngine(spark, fixture_dir, state, TEST_CFG)
+    eng2.run(max_rounds=3)
+    assert eng2.store.committed_round() == 2
+    # the junk file must be gone (round re-ran cleanly)
+    assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))

@@ -1,0 +1,104 @@
+"""SeenShard (bloom + cuckoo) invariants.
+
+The contract for the three-tier URL-seen test (SURVEY.md §2.3):
+* bloom: NO false negatives ever; false positives allowed;
+* cuckoo: no false negatives while inserts succeed; overflow flags the shard
+  and makes it claim "maybe present" for everything (safe);
+* the exact anti-join tier (exercised in the engine tests) is the arbiter.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from twitter_crawler_spark.crawl.seen import SeenShard, make_seen_check_fn, shard_path
+
+
+def _shard(bits=1 << 14, cb=1 << 10):
+    return SeenShard(bits, 4, cb, 4)
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(1)
+    added = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    sh = _shard(bits=1 << 17, cb=1 << 12)
+    sh.add(added)
+    assert sh.bloom_contains(added).all()
+    assert sh.cuckoo_contains(added).all() or sh.overflowed
+
+
+def test_bloom_false_positive_rate_bounded():
+    rng = np.random.default_rng(2)
+    added = rng.integers(-(2**62), 2**62, 2000, dtype=np.int64)
+    probe = rng.integers(-(2**62), 2**62, 20000, dtype=np.int64)
+    probe = np.setdiff1d(probe, added)
+    sh = _shard(bits=1 << 17, cb=1 << 12)
+    sh.add(added)
+    fp = sh.bloom_contains(probe).mean()
+    # m/n ≈ 65, k=4 → theoretical fp ~ 1e-5; allow slack
+    assert fp < 0.01, fp
+
+
+def test_cuckoo_rejects_most_bloom_positives():
+    rng = np.random.default_rng(3)
+    added = rng.integers(-(2**62), 2**62, 1000, dtype=np.int64)
+    probe = rng.integers(-(2**62), 2**62, 5000, dtype=np.int64)
+    probe = np.setdiff1d(probe, added)
+    sh = _shard(bits=1 << 10, cb=1 << 12)  # deliberately tiny bloom → many FPs
+    sh.add(added)
+    pos = probe[sh.bloom_contains(probe)]
+    if len(pos):
+        ver = sh.cuckoo_contains(pos)
+        # 16-bit fingerprints, 2 buckets × 4 slots → FP ~ 8/2^16
+        assert ver.mean() < 0.01
+
+
+def test_overflow_is_safe_not_wrong():
+    rng = np.random.default_rng(4)
+    added = rng.integers(-(2**62), 2**62, 4000, dtype=np.int64)
+    sh = _shard(bits=1 << 14, cb=1 << 6)  # 256 slots « 4000 keys → overflow
+    sh.add(added)
+    assert sh.overflowed
+    # overflowed shard must answer "maybe present" for everything
+    assert sh.cuckoo_contains(added).all()
+    assert sh.cuckoo_contains(np.array([123456789], dtype=np.int64)).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    added = rng.integers(-(2**62), 2**62, 500, dtype=np.int64)
+    sh = _shard()
+    sh.add(added)
+    p = str(tmp_path / "bucket=0.npz")
+    sh.save(p)
+    back = SeenShard.load(p)
+    assert (back.bits == sh.bits).all()
+    assert (back.cuckoo == sh.cuckoo).all()
+    assert back.overflowed == sh.overflowed
+
+
+def test_check_fn_classification(tmp_path):
+    import pandas as pd
+
+    rng = np.random.default_rng(6)
+    added = rng.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    sh = _shard(bits=1 << 17, cb=1 << 12)
+    sh.add(added)
+    d = str(tmp_path)
+    sh.save(shard_path(d, 3))
+    check = make_seen_check_fn(d)
+    fresh = rng.integers(-(2**62), 2**62, 300, dtype=np.int64)
+    fresh = np.setdiff1d(fresh, added)
+    pdf = pd.DataFrame(
+        {
+            "url_hash": np.concatenate([added, fresh]),
+            "bucket": 3,
+        }
+    )
+    out = check(pdf)
+    seen_part = out.iloc[: len(added)]
+    new_part = out.iloc[len(added):]
+    # every truly-seen hash must be routed to the exact tier (flag 2)
+    assert (seen_part["seen_flag"] == 2).all()
+    # almost all fresh hashes short-circuit as definitely-new (flag 0/1)
+    assert (new_part["seen_flag"] < 2).mean() > 0.99

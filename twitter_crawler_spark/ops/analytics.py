@@ -1,0 +1,628 @@
+"""Offline analytics tier + crawl-scheduler operator analogs over the
+generic testdata tables (SURVEY.md §2.4-2.7, §3.3).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame built with
+the DataFrame API (windows, joins, aggregations — all JVM-side); the module
+also carries the DuckDB oracle SQL for every query the driver can check.
+
+Reference parity notes (files under /root/reference/src/main/scala/twitter/crawler/):
+
+* host_budget_rank     — per-host budget pop window F5/F8
+                         (threads/RedisRetweetsThread.scala:12-25 pacing,
+                         storages/RedisFutureStorage.scala:50 pop order)
+* opic_gains           — A15 OPIC cash split (north-star op; integer cash)
+* revisit_fanout       — F6 multi-interval insert
+                         (storages/FutureTasksStorage.scala:23-30)
+* eviction_unproductive— F4 "Delete rare url"
+                         (storages/RedisFutureStorage.scala:123-143)
+* cursor_incremental   — F12/S2 sinceId cursor scans
+                         (threads/RedisSearchThread.scala:14-22)
+* anti_join_new        — D1-D4 dedup-by-membership as anti-join
+* semi_join_followers  — J4 existence join (storages/FriendStorage.scala:48-63)
+* degree_filter        — A6/P15 min-degree (storages/GraphStorage.scala:370-390)
+* top_hubs             — A5 top-N by count (storages/GraphStorage.scala:266-274)
+* two_hop_pairs        — J3/J7 2-hop subgraph / pairwise combinations
+                         (storages/NeoQueriesTrait.scala:174-182,
+                         metrics/UrlFeatures.scala:52-66)
+* collect_series       — A1/O1 per-key ordered time series
+                         (storages/NeoQueriesTrait.scala:145-162)
+* gap_bins             — A10 successive-diff stream (metrics/Distribution.scala:48-50)
+* gap_entropy          — A8 entropy of a counter distribution
+                         (metrics/Distribution.scala:21-28)
+* first_hour_features  — A13/O5 first-event anchor window (metrics/UrlFeatures.scala:43-50)
+* ts_range_join        — J2 time-ranged 1-hop join (storages/NeoQueriesTrait.scala:195-203)
+* tpch_q1 / tpch_q3    — generic scan-agg / 3-way-join probes of the same
+                         physical machinery (integer-cents sums: exact,
+                         order-independent — no float nondeterminism)
+* info_transfer        — A12 pairwise information-transfer metric
+                         (metrics/JoinedProcesses.scala:20-66) via grouped
+                         Arrow applyInPandas; inherently non-SQL (rows-only
+                         correctness check)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+INTERVALS = (0, 3600, 18000, 68400)  # RedisFutureStorage.scala:12 analog
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# scheduler-family
+# ---------------------------------------------------------------------------
+
+
+def q_host_budget_rank(spark, sf_dir):
+    """Per-key budget pop: rank orders per customer by (price desc, key) and
+    keep the top (c_custkey % 3 + 1) — the politeness-budget window."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_custkey") % 3 + 1).alias("budget")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("budget"))
+        .select("o_orderkey", "o_custkey", "rk")
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    )
+
+
+SQL_HOST_BUDGET_RANK = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+         (c_custkey % 3 + 1) AS budget
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT o_orderkey, o_custkey, rk FROM r WHERE rk <= budget
+ORDER BY o_custkey, rk, o_orderkey
+"""
+
+
+def q_opic_gains(spark, sf_dir):
+    """OPIC cash split: each order's integer cash (total price in cents)
+    split uniformly over its lineitems, accumulated per part. Integer
+    division → order-independent, exactly reproducible at any parallelism."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") * 100).cast("long").alias("cash")
+    )
+    outdeg = li.groupBy("l_orderkey").agg(F.count("*").alias("outdeg"))
+    return (
+        li.join(outdeg, "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("gain", F.expr("cash div outdeg"))
+        .groupBy("l_partkey")
+        .agg(F.sum("gain").alias("total_gain"), F.count("*").alias("n_edges"))
+        .orderBy("l_partkey")
+    )
+
+
+SQL_OPIC_GAINS = """
+WITH outdeg AS (
+  SELECT l_orderkey, COUNT(*) AS outdeg FROM lineitem GROUP BY 1
+)
+SELECT l_partkey,
+       SUM(CAST(o_totalprice * 100 AS BIGINT) // outdeg) AS total_gain,
+       COUNT(*) AS n_edges
+FROM lineitem
+JOIN outdeg USING (l_orderkey)
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
+def q_revisit_fanout(spark, sf_dir):
+    """Multi-interval revisit fan-out: every error event is scheduled at ALL
+    revisit intervals at once (FutureTasksStorage.scala:23-30)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    ivals = F.array(*[F.lit(i) for i in INTERVALS])
+    return (
+        ev.select("event_id", F.unix_timestamp("ts").alias("ts0"),
+                  F.explode(ivals).alias("interval"))
+        .select("event_id", "interval", (F.col("ts0") + F.col("interval")).alias("next_ts"))
+        .orderBy("event_id", "interval")
+    )
+
+
+SQL_REVISIT_FANOUT = f"""
+SELECT event_id, interval, CAST(epoch(ts) AS BIGINT) + interval AS next_ts
+FROM events, UNNEST([{", ".join(str(i) for i in INTERVALS)}]) AS u(interval)
+WHERE event_type = 'error'
+ORDER BY event_id, interval
+"""
+
+
+def q_eviction_unproductive(spark, sf_dir):
+    """Unproductive eviction: users with views but zero purchases."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("n_view"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        g.where((F.col("n_view") >= 1) & (F.col("n_purchase") == 0))
+        .select("user_id", "n_events", "n_view")
+        .orderBy("user_id")
+    )
+
+
+SQL_EVICTION = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events
+GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) >= 1
+   AND SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+ORDER BY user_id
+"""
+
+
+def q_cursor_incremental(spark, sf_dir):
+    """sinceId cursor scan: per user, the click-cursor (max click ts) and how
+    many events are strictly newer — the incremental re-fetch predicate."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("tsl")
+    )
+    cur = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.max("tsl").alias("cursor")
+    )
+    return (
+        ev.join(cur, "user_id")
+        .groupBy("user_id", "cursor")
+        .agg(F.sum((F.col("tsl") > F.col("cursor")).cast("long")).alias("n_after_cursor"))
+        .orderBy("user_id")
+    )
+
+
+SQL_CURSOR = """
+WITH e AS (SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS tsl FROM events),
+cur AS (
+  SELECT user_id, MAX(tsl) AS cursor FROM e WHERE event_type = 'click' GROUP BY 1
+)
+SELECT e.user_id, cursor,
+       SUM(CASE WHEN tsl > cursor THEN 1 ELSE 0 END) AS n_after_cursor
+FROM e JOIN cur ON e.user_id = cur.user_id
+GROUP BY e.user_id, cursor
+ORDER BY e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# join-family
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join_new(spark, sf_dir):
+    """Membership dedup as anti-join: customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_semi_join_followers(spark, sf_dir):
+    """Existence join: customers with at least one finished ('F') order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey
+"""
+
+
+def q_degree_filter(spark, sf_dir):
+    """Min-degree filter: parts referenced by ≥ 40 lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey").agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= 40)
+        .orderBy("l_partkey")
+    )
+
+
+SQL_DEGREE_FILTER = """
+SELECT l_partkey, COUNT(*) AS degree FROM lineitem
+GROUP BY 1 HAVING COUNT(*) >= 40 ORDER BY l_partkey
+"""
+
+
+def q_top_hubs(spark, sf_dir):
+    """Top-10 parts by lineitem degree with total ordering tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey").agg(F.count("*").alias("degree"))
+        .orderBy(F.desc("degree"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_HUBS = """
+SELECT l_partkey, COUNT(*) AS degree FROM lineitem
+GROUP BY 1 ORDER BY degree DESC, l_partkey LIMIT 10
+"""
+
+
+def q_two_hop_pairs(spark, sf_dir):
+    """2-hop co-occurrence: part pairs sharing an order (bounded self-join
+    within the order key — never an unscoped cross product), top-20."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+SQL_TWO_HOP = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def q_ts_range_join(spark, sf_dir):
+    """Time-ranged 1-hop join: events of H2 2024 per customer market segment
+    (the ts BETWEEN predicate is pushed into the parquet scan)."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("ts") >= "2024-07-01") & (F.col("ts") < "2025-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_TS_RANGE_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+WHERE ts >= TIMESTAMP '2024-07-01' AND ts < TIMESTAMP '2025-01-01'
+GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# series-family
+# ---------------------------------------------------------------------------
+
+
+def q_collect_series(spark, sf_dir):
+    """Per-user event series summary (sorted-set analog: count/min/max/span)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("tsl")
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("tsl").alias("first_ts"),
+            F.max("tsl").alias("last_ts"),
+        )
+        .withColumn("span_s", F.col("last_ts") - F.col("first_ts"))
+        .orderBy("user_id")
+    )
+
+
+SQL_COLLECT_SERIES = """
+SELECT user_id, COUNT(*) AS n,
+       MIN(CAST(epoch(ts) AS BIGINT)) AS first_ts,
+       MAX(CAST(epoch(ts) AS BIGINT)) AS last_ts,
+       MAX(CAST(epoch(ts) AS BIGINT)) - MIN(CAST(epoch(ts) AS BIGINT)) AS span_s
+FROM events GROUP BY 1 ORDER BY user_id
+"""
+
+
+_GAP_BIN = (
+    "CASE WHEN gap < 3600 THEN 0 WHEN gap < 21600 THEN 1 "
+    "WHEN gap < 86400 THEN 2 ELSE 3 END"
+)
+
+
+def q_gap_bins(spark, sf_dir):
+    """Inter-arrival gap histogram per user (lag window → integer bins)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tsl")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsl", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("tsl").over(w))
+        .where(F.col("prev").isNotNull())
+        .withColumn("gap", F.col("tsl") - F.col("prev"))
+        .withColumn("bin", F.expr(_GAP_BIN))
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(*[
+            F.sum((F.col("bin") == i).cast("long")).alias(f"bin{i}") for i in range(4)
+        ])
+        .orderBy("user_id")
+    )
+
+
+SQL_GAP_BINS = f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch(ts) AS BIGINT)
+           - LAG(CAST(epoch(ts) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN {_GAP_BIN} = 0 THEN 1 ELSE 0 END) AS bin0,
+       SUM(CASE WHEN {_GAP_BIN} = 1 THEN 1 ELSE 0 END) AS bin1,
+       SUM(CASE WHEN {_GAP_BIN} = 2 THEN 1 ELSE 0 END) AS bin2,
+       SUM(CASE WHEN {_GAP_BIN} = 3 THEN 1 ELSE 0 END) AS bin3
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_gap_entropy(spark, sf_dir):
+    """Entropy of the per-user gap-bin distribution (Distribution.scala:21-28
+    closed form: log2(n) − Σ c·log2(c)/n), rounded for float-hash stability."""
+    bins = q_gap_bins(spark, sf_dir)
+    cols = [F.col(f"bin{i}") for i in range(4)]
+    n = sum(cols[1:], cols[0])
+    term = sum(
+        (F.when(c > 0, c.cast("double") * F.log2(c.cast("double"))).otherwise(F.lit(0.0)))
+        for c in cols
+    )
+    return (
+        bins.withColumn("n_gaps", n)
+        .where(F.col("n_gaps") >= 10)  # P14 min-count predicate (Main.scala:114-117)
+        .withColumn(
+            "entropy",
+            F.round(F.log2(F.col("n_gaps").cast("double")) - term / F.col("n_gaps"), 6),
+        )
+        .select("user_id", "n_gaps", "entropy")
+        .orderBy("user_id")
+    )
+
+
+SQL_GAP_ENTROPY = f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(epoch(ts) AS BIGINT)
+           - LAG(CAST(epoch(ts) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+b AS (
+  SELECT user_id, {_GAP_BIN} AS bin, COUNT(*) AS c
+  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id, SUM(c) AS n_gaps,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+  FROM b GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       ROUND(log2(CAST(n_gaps AS DOUBLE)) - clogc / n_gaps, 6) AS entropy
+FROM agg WHERE n_gaps >= 10
+ORDER BY user_id
+"""
+
+
+def q_first_hour(spark, sf_dir):
+    """First-event anchor: events within 1h of each user's first event."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("tsl")
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("first_ts", F.min("tsl").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("tsl") <= F.col("first_ts") + 3600).cast("long")).alias("n_first_hour"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_FIRST_HOUR = """
+WITH e AS (
+  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tsl,
+         MIN(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN tsl <= first_ts + 3600 THEN 1 ELSE 0 END) AS n_first_hour,
+       COUNT(*) AS n_total
+FROM e GROUP BY 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# generic scan/join probes (integer-cents arithmetic: exact + order-free)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "2024-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum((F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum((F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("sum_disc_c"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity * 100 AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS sum_base_c,
+       SUM(CAST(l_extendedprice * (1 - l_discount) * 100 AS BIGINT)) AS sum_disc_c,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """3-way join with a broadcast dimension + top-10 by revenue."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_c")
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       SUM(CAST(l_extendedprice * (1 - l_discount) * 100 AS BIGINT)) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1 ORDER BY revenue_c DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# A12: pairwise information transfer (grouped Arrow UDF — non-SQL tier)
+# ---------------------------------------------------------------------------
+
+_IT_BINS = (3600, 21600)  # bin widths (1h, 6h) — analog of metrics/package.scala:11
+
+
+def _it_for_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Information-transfer sweep for one user pair (vectorized numpy inside
+    the Arrow batch; the per-pair sweep is inherently sequential —
+    metrics/JoinedProcesses.scala:20-66)."""
+    ua, ub = pdf["user_a"].iloc[0], pdf["user_b"].iloc[0]
+    a = np.sort(pdf.loc[pdf["which"] == 0, "tsl"].to_numpy())
+    b = np.sort(pdf.loc[pdf["which"] == 1, "tsl"].to_numpy())
+    rows = []
+    for width in _IT_BINS:
+        lo = min(a.min(), b.min())
+        bins_a = np.unique((a - lo) // width)
+        bins_b = np.unique((b - lo) // width)
+        joint = len(np.intersect1d(bins_a, bins_b, assume_unique=True))
+        union = len(np.union1d(bins_a, bins_b))
+        rows.append((int(ua), int(ub), int(width), len(bins_a), len(bins_b), joint,
+                     round(joint / union, 6)))
+    return pd.DataFrame(
+        rows,
+        columns=["user_a", "user_b", "bin_width", "bins_a", "bins_b",
+                 "joint_bins", "overlap"],
+    )
+
+
+def q_info_transfer(spark, sf_dir):
+    """Pairwise co-activity / information-transfer features for the 8 most
+    active users (J7 bounded pair cross + A12 grouped sweep). Non-SQL tier:
+    correctness is covered by the pytest pandas recomputation, the driver
+    records a rows-only check."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("tsl")
+    )
+    top = (
+        ev.groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(8)
+        .select("user_id")
+    )
+    sel = ev.join(F.broadcast(top), "user_id")
+    a, b = sel.alias("a"), top.alias("b")
+    pairs = (
+        top.alias("x").join(top.alias("y"),
+                            F.col("x.user_id") < F.col("y.user_id"))
+        .select(F.col("x.user_id").alias("user_a"), F.col("y.user_id").alias("user_b"))
+    )
+    # events of both pair members, tagged which side they belong to
+    ev_a = pairs.join(sel, pairs.user_a == sel.user_id).select(
+        "user_a", "user_b", "tsl", F.lit(0).alias("which")
+    )
+    ev_b = pairs.join(sel, pairs.user_b == sel.user_id).select(
+        "user_a", "user_b", "tsl", F.lit(1).alias("which")
+    )
+    schema = (
+        "user_a long, user_b long, bin_width int, bins_a int, bins_b int,"
+        " joint_bins int, overlap double"
+    )
+    return (
+        ev_a.unionByName(ev_b)
+        .groupBy("user_a", "user_b")
+        .applyInPandas(_it_for_group, schema)
+        .orderBy("user_a", "user_b", "bin_width")
+    )
+
+
+ANALYTICS_QUERIES = {
+    "host_budget_rank": (q_host_budget_rank, SQL_HOST_BUDGET_RANK),
+    "opic_gains": (q_opic_gains, SQL_OPIC_GAINS),
+    "revisit_fanout": (q_revisit_fanout, SQL_REVISIT_FANOUT),
+    "eviction_unproductive": (q_eviction_unproductive, SQL_EVICTION),
+    "cursor_incremental": (q_cursor_incremental, SQL_CURSOR),
+    "anti_join_new": (q_anti_join_new, SQL_ANTI_JOIN),
+    "semi_join_followers": (q_semi_join_followers, SQL_SEMI_JOIN),
+    "degree_filter": (q_degree_filter, SQL_DEGREE_FILTER),
+    "top_hubs": (q_top_hubs, SQL_TOP_HUBS),
+    "two_hop_pairs": (q_two_hop_pairs, SQL_TWO_HOP),
+    "ts_range_join": (q_ts_range_join, SQL_TS_RANGE_JOIN),
+    "collect_series": (q_collect_series, SQL_COLLECT_SERIES),
+    "gap_bins": (q_gap_bins, SQL_GAP_BINS),
+    "gap_entropy": (q_gap_entropy, SQL_GAP_ENTROPY),
+    "first_hour_features": (q_first_hour, SQL_FIRST_HOUR),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "info_transfer": (q_info_transfer, None),  # non-SQL (grouped Arrow UDF)
+}

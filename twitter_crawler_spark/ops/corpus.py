@@ -1,0 +1,371 @@
+"""Corpus operators: dedup, similarity search, text statistics, multimodal
+metadata — each generated for BOTH dialects ("spark", "duckdb") from the
+shared templates in ops.exprs, so the DuckDB oracle is definitionally in
+sync with the Spark implementation.
+
+Scale notes (the 100 TB story, per query):
+
+* All text hashing runs as Spark SQL higher-order functions — JVM-side,
+  whole-stage-codegen'd, zero Python crossings (the per-row-Python ban in
+  BASELINE.json input_hint).
+* MinHash-LSH turns the quadratic near-dup search into an equi-join on
+  (band, key): shuffle partitions by band key, hot buckets are bounded by
+  banding geometry. The n-gram Jaccard query is deliberately scoped to
+  within-source pairs (bounded blocks), never an unscoped cross join.
+* Embedding kNN brute force is the correctness baseline; the LSH-bucketed
+  variant is the scale path (hyperplane signs → bucket equi-join instead of
+  a full cross product).
+"""
+
+from __future__ import annotations
+
+from twitter_crawler_spark.ops import exprs as E
+
+# ---------------------------------------------------------------------------
+# template helpers
+# ---------------------------------------------------------------------------
+
+
+def _intdiv(a: str, b: str, d: str) -> str:
+    return f"({a} div {b})" if d == "spark" else f"({a} // {b})"
+
+
+def _xor(a: str, b: str, d: str) -> str:
+    return f"({a} ^ {b})" if d == "spark" else f"xor({a}, {b})"
+
+
+def _epoch(col: str, d: str) -> str:
+    return f"unix_timestamp({col})" if d == "spark" else f"cast(epoch({col}) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_exact(d: str) -> str:
+    """Exact dedup via content digest (hash-groupBy). Reference analog: the
+    Lucene messageId dedup probe (storages/TweetStorage.scala:53-60) scaled
+    to content identity."""
+    digest = f"sha2(text, 256)" if d == "spark" else "sha256(text)"
+    return f"""
+SELECT {digest} AS digest,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY digest
+"""
+
+
+def sql_dedup_ngram_jaccard(d: str) -> str:
+    """Character-3-gram Jaccard over within-source candidate blocks."""
+    grams = E.char_ngrams("text", 3, d)
+    if d == "spark":
+        inter = "size(array_intersect(a.grams, b.grams))"
+        union = "size(array_union(a.grams, b.grams))"
+    else:
+        inter = "len(list_intersect(a.grams, b.grams))"
+        union = "len(list_distinct(list_concat(a.grams, b.grams)))"
+    return f"""
+WITH g AS (
+  SELECT doc_id, source, {grams} AS grams FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST({inter} AS DOUBLE) / {union}, 6) AS jaccard
+FROM g a JOIN g b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+def sql_dedup_minhash_lsh(d: str) -> str:
+    """MinHash signatures + LSH banding: near-dup candidate pairs become an
+    equi-join on (band, band_key) — the 100 TB-scalable plan (no cross
+    join anywhere)."""
+    sig = E.minhash_sig("h", d)
+    band_cols = ",\n       ".join(
+        f"{E.band_key(sig, b, d)} AS band{b}" for b in range(E.LSH_BANDS)
+    )
+    if d == "spark":
+        bands = (
+            "SELECT doc_id, band, key FROM sigs "
+            "LATERAL VIEW stack("
+            + str(E.LSH_BANDS)
+            + ", "
+            + ", ".join(f"{b}, band{b}" for b in range(E.LSH_BANDS))
+            + ") AS band, key"
+        )
+    else:
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, band{b} AS key FROM sigs"
+            for b in range(E.LSH_BANDS)
+        )
+    return f"""
+WITH hashes AS (
+  SELECT doc_id, {E.token_hashes("text", d)} AS h FROM documents
+),
+sigs AS (
+  SELECT doc_id, {band_cols} FROM hashes
+),
+bands AS ({bands})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY n_shared_bands DESC, doc_a, doc_b
+"""
+
+
+def sql_dedup_simhash(d: str) -> str:
+    """SimHash fingerprints + near-pair report (hamming ≤ 3 within a lang)."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, {E.simhash(E.token_hashes("text", d), d)} AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count({_xor("a.sh", "b.sh", d)}) AS hamming
+  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= 3
+ORDER BY hamming, doc_a, doc_b
+"""
+
+
+def sql_simhash_signatures(d: str) -> str:
+    """The raw SimHash signature table (doc_id → integer fingerprint)."""
+    return f"""
+SELECT doc_id, {E.simhash(E.token_hashes("text", d), d)} AS simhash16
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def sql_dedup_embedding_nn(d: str) -> str:
+    """Embedding near-dup: each vector's nearest same-label neighbour by
+    cosine (double math with identical fold order in both engines)."""
+    cos = E.cosine("a.embedding", "b.embedding", d)
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+         {cos} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, nn_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk
+  FROM p
+)
+SELECT vec_id, nn_id, ROUND(cos, 6) AS cos_sim
+FROM r WHERE rk = 1
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def sql_ann_bruteforce(d: str) -> str:
+    """Brute-force top-3 cosine neighbours for the query set (vec_id < 10)."""
+    cos = E.cosine("q.embedding", "c.embedding", d)
+    return f"""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+c AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+  FROM q JOIN c ON 1 = 1
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, rk AS rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+FROM r WHERE rk <= 3
+ORDER BY query_id, rank
+"""
+
+
+def _lsh_bucket(emb: str, d: str, planes: int = 8, dim: int = 64) -> str:
+    """Deterministic hyperplane-LSH bucket id: integer pseudo-random plane
+    weights w_j[i] = ((i*31 + j*17) % 7) - 3; bit j = (emb · w_j) >= 0."""
+    bits = []
+    for j in range(planes):
+        w = f"cast((((i * 31 + {j * 17}) % 7) - 3) as double)"
+        if d == "spark":
+            dotj = (
+                f"aggregate(sequence(1, {dim}), cast(0 as double),"
+                f" (acc, i) -> acc + cast(element_at({emb}, i) as double) * {w})"
+            )
+        else:
+            dotj = (
+                f"list_reduce(list_prepend(cast(0 as double),"
+                f" list_transform(generate_series(1, {dim}),"
+                f" i -> cast({emb}[i] as double) * {w})), (acc, v) -> acc + v)"
+            )
+        bits.append(f"(case when ({dotj}) >= 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def sql_ann_lsh(d: str) -> str:
+    """LSH-bucketed ANN (the scale path): hyperplane-sign bucket equi-join
+    replaces the cross product; per-bucket cosine top-3."""
+    cos = E.cosine("q.embedding", "c.embedding", d)
+    return f"""
+WITH h AS (
+  SELECT vec_id, label, embedding, {_lsh_bucket("embedding", d)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT * FROM h WHERE vec_id < 10),
+c AS (SELECT * FROM h WHERE vec_id >= 10),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+  FROM q JOIN c ON q.bucket = c.bucket
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, rk AS rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+FROM r WHERE rk <= 3
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# text statistics
+# ---------------------------------------------------------------------------
+
+
+def sql_lang_id(d: str) -> str:
+    """Stopword-marker language id (deterministic argmax, ties → list order)."""
+    toks = E.tokens("text", d)
+    scores = E.lang_scores("t.toks", d)
+    langs = list(E.LANG_MARKERS)
+    score_cols = ",\n       ".join(f"{scores[lg]} AS s_{lg}" for lg in langs)
+    # argmax with first-wins tie-break in declaration order
+    pred = "CASE "
+    for lg in langs:
+        others = [f"s_{lg} >= s_{o}" for o in langs if o != lg]
+        pred += f"WHEN {' AND '.join(others)} THEN '{lg}' "
+    pred += "ELSE 'unk' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+sc AS (
+  SELECT doc_id, lang, {score_cols} FROM t
+)
+SELECT doc_id, lang AS labeled_lang, {pred} AS pred_lang,
+       s_en, s_de, s_fr, s_es, s_zh
+FROM sc
+ORDER BY doc_id
+"""
+
+
+def sql_quality_score(d: str) -> str:
+    """Document quality features: token counts, distinct ratio, punctuation
+    density, mean token length — all exact rational arithmetic, rounded."""
+    toks = E.tokens("text", d)
+    n_tok = E.arr_size("toks", d)
+    n_dis = E.arr_size(E.distinct("toks", d), d)
+    tok_chars = E.arr_sum_bigint(E.transform("toks", "t -> length(t)", d), d)
+    if d == "spark":
+        n_punct = r"size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))"
+    else:
+        n_punct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    return f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n_chars, {toks} AS toks FROM documents),
+f AS (
+  SELECT doc_id, n_chars,
+         {n_tok} AS n_tokens,
+         {n_dis} AS n_distinct,
+         {tok_chars} AS tok_chars,
+         {n_punct} AS n_punct
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct, n_punct,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_density,
+       ROUND(CAST(tok_chars AS DOUBLE) / n_tokens, 6) AS mean_tok_len
+FROM f
+WHERE n_tokens > 0
+ORDER BY doc_id
+"""
+
+
+def sql_token_count(d: str) -> str:
+    """Whitespace tokens vs BPE-ish regex tokens (letters / digits / single
+    punct) — the two token-count estimators a data pipeline reports."""
+    toks = E.tokens("text", d)
+    if d == "spark":
+        bpe = "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+    else:
+        bpe = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))"
+    return f"""
+SELECT doc_id,
+       {E.arr_size(toks, d)} AS ws_tokens,
+       {bpe} AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def sql_doc_fingerprint(d: str) -> str:
+    """Document fingerprints: whole-text polynomial hash + the minimum
+    8-gram rolling hash (winnowing-style representative)."""
+    full = E.str_hash("text", d)
+    grams = E.char_ngrams("text", 8, d)
+    min_gram = E.arr_min(E.transform(grams, f"g -> {E.str_hash('g', d)}", d), d)
+    return f"""
+SELECT doc_id, {full} AS full_hash, {min_gram} AS min_gram_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal metadata (binary column plumbing; decode itself is stubbed in
+# ops.multimodal — no image/audio libs in this environment)
+# ---------------------------------------------------------------------------
+
+
+def sql_multimodal_meta(d: str) -> str:
+    """Opaque binary payload + typed metadata: byte length + content digest.
+    The payload here is the utf-8 encoding of text (the testdata has no
+    binary column); the plumbing is identical for real image bytes."""
+    if d == "spark":
+        length = "octet_length(encode(text, 'UTF-8'))"
+        digest = "sha2(encode(text, 'UTF-8'), 256)"
+    else:
+        length = "octet_length(encode(text))"
+        digest = "sha256(text)"
+    return f"""
+SELECT doc_id, {length} AS n_bytes, {digest} AS payload_sha256
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# registry: name → builder
+CORPUS_SQL = {
+    "dedup_exact": sql_dedup_exact,
+    "dedup_ngram_jaccard": sql_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": sql_dedup_minhash_lsh,
+    "dedup_simhash_pairs": sql_dedup_simhash,
+    "simhash_signatures": sql_simhash_signatures,
+    "dedup_embedding_nn": sql_dedup_embedding_nn,
+    "ann_bruteforce_topk": sql_ann_bruteforce,
+    "ann_lsh_bucketed": sql_ann_lsh,
+    "lang_id": sql_lang_id,
+    "quality_score": sql_quality_score,
+    "token_count": sql_token_count,
+    "doc_fingerprint": sql_doc_fingerprint,
+    "multimodal_meta": sql_multimodal_meta,
+}

@@ -1,0 +1,207 @@
+"""Dual-dialect (Spark SQL / DuckDB SQL) expression templates.
+
+One source of truth for every arithmetic definition the corpus operators use
+(tokenization, polynomial hashing, MinHash permutations, SimHash bits), so
+the Spark implementation and the DuckDB oracle can never drift. All hashes
+are plain integer arithmetic over character codes — deliberately *not*
+engine-builtin hashes (Spark murmur vs DuckDB hash are incompatible) — and
+all intermediate values stay < 2^46 so 64-bit integer math is exact in both
+engines.
+
+Spark evaluates these via higher-order functions inside whole-stage codegen
+(JVM-side, no Python), which is the point: dedup/fingerprinting at 100 TB
+must not cross the Python boundary per row.
+"""
+
+from __future__ import annotations
+
+# modulus for the polynomial rolling hash (fits all intermediates in int64)
+HASH_P = 1_000_000_007
+HASH_INIT = 7
+HASH_MULT = 31
+
+# MinHash: k permutations h_j(x) = (A_j * x + B_j) mod P
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 16
+
+
+def _a(j: int) -> int:
+    return 2 * j + 3
+
+
+def _b(j: int) -> int:
+    return 5 * j + 11
+
+
+# ---------------------------------------------------------------------------
+# dialect helpers: d = "spark" | "duckdb"
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: str, d: str) -> str:
+    """Lowercased alnum tokens of a text column (array<string>)."""
+    if d == "spark":
+        return (
+            f"filter(split(regexp_replace(lower({col}), '[^a-z0-9]+', ' '), ' '),"
+            f" t -> t != '')"
+        )
+    return (
+        f"list_filter(string_split(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'),"
+        f" ' '), t -> t != '')"
+    )
+
+
+def distinct(arr: str, d: str) -> str:
+    return f"array_distinct({arr})" if d == "spark" else f"list_distinct({arr})"
+
+
+def transform(arr: str, lam: str, d: str) -> str:
+    fn = "transform" if d == "spark" else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def arr_min(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == "spark" else f"list_min({arr})"
+
+
+def arr_size(arr: str, d: str) -> str:
+    return f"size({arr})" if d == "spark" else f"len({arr})"
+
+
+def arr_sum_bigint(arr: str, d: str) -> str:
+    """Exact integer sum of a bigint array."""
+    if d == "spark":
+        return f"aggregate({arr}, cast(0 as bigint), (acc, x) -> acc + x)"
+    return f"coalesce(list_reduce(list_prepend(cast(0 as bigint), {arr}), (acc, x) -> acc + x), 0)"
+
+
+def seq(lo: str | int, hi: str | int, d: str) -> str:
+    """Inclusive integer range as an array/list."""
+    if d == "spark":
+        return f"sequence({lo}, {hi})"
+    return f"generate_series({lo}, {hi})"
+
+
+def char_codes(s: str, d: str) -> str:
+    """Array of byte codes (ascii of each character) of a string expr."""
+    lam = f"i -> cast(ascii(substring({s}, i, 1)) as bigint)"
+    return transform(seq(1, f"length({s})", d), lam, d)
+
+
+def str_hash(s: str, d: str) -> str:
+    """Polynomial hash of a string expr: fold (acc*31 + code) mod P, init 7.
+
+    Range [0, P); empty string hashes to HASH_INIT.
+    """
+    codes = char_codes(s, d)
+    if d == "spark":
+        return (
+            f"aggregate({codes}, cast({HASH_INIT} as bigint),"
+            f" (acc, x) -> (acc * {HASH_MULT} + x) % {HASH_P})"
+        )
+    return (
+        f"list_reduce(list_prepend(cast({HASH_INIT} as bigint), {codes}),"
+        f" (acc, x) -> (acc * {HASH_MULT} + x) % {HASH_P})"
+    )
+
+
+def token_hashes(col: str, d: str) -> str:
+    """Distinct token hash array of a text column (order-insensitive uses only)."""
+    return transform(distinct(tokens(col, d), d), f"t -> {str_hash('t', d)}", d)
+
+
+def minhash_j(hashes_col: str, j: int, d: str) -> str:
+    """j-th MinHash value over a bigint hash array column (null if empty)."""
+    permuted = transform(hashes_col, f"x -> ({_a(j)} * x + {_b(j)}) % {HASH_P}", d)
+    return arr_min(permuted, d)
+
+
+def minhash_sig(hashes_col: str, d: str, k: int = MINHASH_K) -> list[str]:
+    return [minhash_j(hashes_col, j, d) for j in range(k)]
+
+
+def band_key(sig_cols: list[str], band: int, d: str, rows: int = LSH_ROWS) -> str:
+    """Combine one band's MinHash rows into a single bigint bucket key."""
+    expr = f"cast({HASH_INIT} as bigint)"
+    for r in range(rows):
+        expr = f"(({expr}) * {HASH_MULT} + {sig_cols[band * rows + r]}) % {HASH_P}"
+    return expr
+
+
+def simhash(hashes_col: str, d: str, bits: int = SIMHASH_BITS) -> str:
+    """SimHash over a token-hash array: bit b set iff the majority of token
+    hashes have bit b set (sum of ±1 > 0). Stays integer-exact."""
+    terms = []
+    for b in range(bits):
+        votes = transform(
+            hashes_col, f"x -> 2 * ((x div {1 << b}) % 2) - 1"
+            if d == "spark"
+            else f"x -> 2 * ((x // {1 << b}) % 2) - 1",
+            d,
+        )
+        vote_sum = arr_sum_bigint(votes, d)
+        terms.append(f"(case when ({vote_sum}) > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def char_ngrams(col: str, n: int, d: str) -> str:
+    """Distinct character n-gram array of a (normalized) text column."""
+    norm = f"regexp_replace(lower({col}), '[^a-z0-9]+', ' ')" if d == "spark" else (
+        f"regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')"
+    )
+    grams = transform(
+        seq(1, f"length({norm}) - {n - 1}", d),
+        f"i -> substring({norm}, i, {n})",
+        d,
+    )
+    return distinct(grams, d)
+
+
+def dot(a: str, b: str, d: str) -> str:
+    """Dot product of two float arrays, accumulated left-to-right in double
+    (identical summation order in both engines)."""
+    if d == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+            f" cast(0 as double), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(cast(0 as double),"
+        f" list_transform(generate_series(1, len({a})),"
+        f" i -> cast({a}[i] as double) * cast({b}[i] as double))), (acc, v) -> acc + v)"
+    )
+
+
+def norm(a: str, d: str) -> str:
+    return f"sqrt({dot(a, a, d)})"
+
+
+def cosine(a: str, b: str, d: str) -> str:
+    return f"({dot(a, b, d)} / ({norm(a, d)} * {norm(b, d)}))"
+
+
+# language-id stopword marker lists (deterministic heuristic; the synthetic
+# corpus shares one vocabulary so this exercises the operator, not accuracy)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def lang_scores(tokens_col: str, d: str) -> dict[str, str]:
+    """Per-language marker-hit counts over a token array column."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        if d == "spark":
+            out[lang] = (
+                f"size(filter({tokens_col}, t -> array_contains(array({lst}), t)))"
+            )
+        else:
+            out[lang] = f"len(list_filter({tokens_col}, t -> list_contains([{lst}], t)))"
+    return out
