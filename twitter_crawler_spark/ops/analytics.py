@@ -96,7 +96,7 @@ def q_opic_gains(spark, sf_dir):
     division → order-independent, exactly reproducible at any parallelism."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", (F.col("o_totalprice") * 100).cast("long").alias("cash")
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cash")
     )
     outdeg = li.groupBy("l_orderkey").agg(F.count("*").alias("outdeg"))
     return (
@@ -114,7 +114,7 @@ WITH outdeg AS (
   SELECT l_orderkey, COUNT(*) AS outdeg FROM lineitem GROUP BY 1
 )
 SELECT l_partkey,
-       SUM(CAST(o_totalprice * 100 AS BIGINT) // outdeg) AS total_gain,
+       SUM(CAST(floor(o_totalprice * 100) AS BIGINT) // outdeg) AS total_gain,
        COUNT(*) AS n_edges
 FROM lineitem
 JOIN outdeg USING (l_orderkey)
@@ -138,7 +138,7 @@ def q_revisit_fanout(spark, sf_dir):
 
 
 SQL_REVISIT_FANOUT = f"""
-SELECT event_id, interval, CAST(epoch(ts) AS BIGINT) + interval AS next_ts
+SELECT event_id, interval, CAST(floor(epoch(ts)) AS BIGINT) + interval AS next_ts
 FROM events, UNNEST([{", ".join(str(i) for i in INTERVALS)}]) AS u(interval)
 WHERE event_type = 'error'
 ORDER BY event_id, interval
@@ -189,7 +189,7 @@ def q_cursor_incremental(spark, sf_dir):
 
 
 SQL_CURSOR = """
-WITH e AS (SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS tsl FROM events),
+WITH e AS (SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tsl FROM events),
 cur AS (
   SELECT user_id, MAX(tsl) AS cursor FROM e WHERE event_type = 'click' GROUP BY 1
 )
@@ -346,9 +346,9 @@ def q_collect_series(spark, sf_dir):
 
 SQL_COLLECT_SERIES = """
 SELECT user_id, COUNT(*) AS n,
-       MIN(CAST(epoch(ts) AS BIGINT)) AS first_ts,
-       MAX(CAST(epoch(ts) AS BIGINT)) AS last_ts,
-       MAX(CAST(epoch(ts) AS BIGINT)) - MIN(CAST(epoch(ts) AS BIGINT)) AS span_s
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_ts,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts,
+       MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS span_s
 FROM events GROUP BY 1 ORDER BY user_id
 """
 
@@ -383,8 +383,8 @@ def q_gap_bins(spark, sf_dir):
 SQL_GAP_BINS = f"""
 WITH g AS (
   SELECT user_id,
-         CAST(epoch(ts) AS BIGINT)
-           - LAG(CAST(epoch(ts) AS BIGINT))
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 )
@@ -423,8 +423,8 @@ def q_gap_entropy(spark, sf_dir):
 SQL_GAP_ENTROPY = f"""
 WITH g AS (
   SELECT user_id,
-         CAST(epoch(ts) AS BIGINT)
-           - LAG(CAST(epoch(ts) AS BIGINT))
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT))
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM events
 ),
@@ -463,8 +463,8 @@ def q_first_hour(spark, sf_dir):
 
 SQL_FIRST_HOUR = """
 WITH e AS (
-  SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tsl,
-         MIN(CAST(epoch(ts) AS BIGINT)) OVER (PARTITION BY user_id) AS first_ts
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsl,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id) AS first_ts
   FROM events
 )
 SELECT user_id,
@@ -484,10 +484,10 @@ def q_tpch_q1(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum((F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
-            F.sum((F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
             ).alias("sum_disc_c"),
             F.count("*").alias("count_order"),
         )
@@ -497,9 +497,9 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity * 100 AS BIGINT)) AS sum_qty_c,
-       SUM(CAST(l_extendedprice * 100 AS BIGINT)) AS sum_base_c,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * 100 AS BIGINT)) AS sum_disc_c,
+       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -518,7 +518,7 @@ def q_tpch_q3(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
             ).alias("revenue_c")
         )
         .orderBy(F.desc("revenue_c"), F.asc("l_orderkey"))
@@ -528,7 +528,7 @@ def q_tpch_q3(spark, sf_dir):
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey,
-       SUM(CAST(l_extendedprice * (1 - l_discount) * 100 AS BIGINT)) AS revenue_c
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
