@@ -50,7 +50,10 @@ def test_multimodal_features_match_reference(spark):
 def test_info_transfer_matches_pandas(spark):
     got = entrymod.queries()["info_transfer"](spark, SF).toPandas()
     ev = pd.read_parquet(f"{SF}/events.parquet")
-    ev["tsl"] = (ev["ts"].astype("int64") // 10**9).astype(np.int64)
+    # parquet timestamps load as datetime64[us]; normalize to ns then seconds
+    ev["tsl"] = (ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9).astype(
+        np.int64
+    )
     counts = ev.groupby("user_id").size().sort_values(ascending=False)
     # top-8 with (count desc, user_id asc) tie-break
     order = sorted(counts.index, key=lambda u: (-counts[u], u))[:8]
