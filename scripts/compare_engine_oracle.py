@@ -1,8 +1,11 @@
 """Dev driver: run oracle + Spark engine on a fixture and diff all goldens."""
 
+import os
 import shutil
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from twitter_crawler_spark import CrawlConfig
 from twitter_crawler_spark.crawl.engine import CrawlEngine

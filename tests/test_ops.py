@@ -83,3 +83,18 @@ def test_info_transfer_matches_pandas(spark):
 def test_corpus_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0
+
+
+def test_tsv_sink_roundtrip(spark, tmp_path):
+    """S8/S9 sink: TSV dump with <a|b|c> list encoding round-trips."""
+    from twitter_crawler_spark.ops.sinks import NO_ENTITIES, encode_list, write_tsv
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], ["id", "items"]
+    ).select("id", encode_list(F.col("items")).alias("enc"))
+    out = str(tmp_path / "tsv")
+    write_tsv(df, out)
+    back = spark.read.option("sep", "\t").csv(out).collect()
+    got = {(r[0], r[1]) for r in back}
+    assert got == {("1", "<a|b>"), ("2", NO_ENTITIES)}

@@ -29,6 +29,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -73,11 +74,6 @@ class CrawlEngine:
         self.fx = fixture_dir
         self.store = SnapshotStore(state_dir)
         self.use_filters = use_filters
-        # in-memory carry of the previous round's checkpointed state tables —
-        # purely an optimization: the parquet written per round is the source
-        # of truth (resume always reads it); the carried DataFrames are local
-        # checkpoints, so no lineage chains across rounds
-        self._mem: dict[tuple[str, int], DataFrame] = {}
         self._load_static()
 
     # ------------------------------------------------------------------ inputs
@@ -213,12 +209,15 @@ class CrawlEngine:
         t0 = time.time()
         t_r = r * cfg.round_tick
         prev = r - 1
-        frontier = self._mem.get(("frontier", prev))
-        if frontier is None:
-            frontier = self.store.read_state(s, "frontier", prev)
-        hosts = self._mem.get(("hosts", prev))
-        if hosts is None:
-            hosts = self.store.read_state(s, "hosts", prev).localCheckpoint()
+        # State is ALWAYS re-read from the committed parquet snapshot, never
+        # carried as an in-memory DataFrame across rounds: a carried plan
+        # (even a local checkpoint) propagates Catalyst sizeInBytes estimates
+        # through every join of every round, and the estimate grows ~4× per
+        # round — by round ~10 the BigInt stats arithmetic alone takes
+        # minutes (SizeInBytesOnlyStatsPlanVisitor multiplies them). Parquet
+        # leaves reset the estimate to real file sizes each round.
+        frontier = self.store.read_state(s, "frontier", prev)
+        hosts = self.store.read_state(s, "hosts", prev).localCheckpoint()
         _t = time.time()
 
         # ---- pop: due filter + crawl-delay + salted per-host budget window ----
@@ -424,7 +423,15 @@ class CrawlEngine:
             seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
         )
         new_urls = fast_new.unionByName(exact_new).localCheckpoint()
-        n_new = new_urls.count()
+        # one job: total + per-seen-partition new-url counts (metrics reuse)
+        part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
+        new_stats = {
+            int(row["partition_id"]): int(row["new_urls"])
+            for row in new_urls.groupBy(part).agg(
+                F.count("*").alias("new_urls")
+            ).collect()
+        }
+        n_new = sum(new_stats.values())
         _t = _tlog("seen_tiers", _t)
         n_dupes = n_candidates - n_blocked - n_new
 
@@ -452,19 +459,6 @@ class CrawlEngine:
             & F.lit(cfg.evict_unproductive and not cfg.crawl_once)
         )
         retire_cond = F.col("attempt") + 1 >= cfg.max_attempts
-        # one job: per-seen-partition fetch metrics + eviction count, all off
-        # the popped_res checkpoint (consumed again below for the metrics table)
-        part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
-        pop_stats = {
-            int(row["partition_id"]): row
-            for row in popped_res.groupBy(part).agg(
-                F.count("*").alias("fetched"),
-                F.sum((F.col("n_results") > 0).cast("long")).alias("hits"),
-                F.sum("n_results").alias("results"),
-                F.sum(evict_cond.cast("long")).alias("evicted"),
-            ).collect()
-        }
-        n_evicted = sum(int(row["evicted"]) for row in pop_stats.values())
         evictions = popped_res.where(evict_cond).select(
             "url", F.lit(r).alias("round")
         )
@@ -492,7 +486,6 @@ class CrawlEngine:
             .drop("gain")
             .select(*[f.name for f in schemas.FRONTIER.fields])
         ).localCheckpoint()
-        frontier_n = f_next.count()
         _t = _tlog("frontier_next", _t)
 
         # ---- hosts state ------------------------------------------------------------
@@ -514,27 +507,14 @@ class CrawlEngine:
         )
         hosts_next = hosts_known.unionByName(hosts_new).localCheckpoint()
 
-        # ---- write round outputs ------------------------------------------------------
+        # ---- write round outputs + bloom update + remaining stats, all jobs
+        # over materialized checkpoints → submitted CONCURRENTLY from driver
+        # threads (Spark schedules independent jobs in parallel; wall time is
+        # the max, not the sum — the analog of parallel Iceberg table appends
+        # before one snapshot commit)
         st = self.store
-        st.write_round(f_next, "frontier", r)
-        st.write_round(hosts_next, "hosts", r)
-        st.write_round(
-            new_rows.select("url_hash", "url", F.lit(r).alias("first_round")), "url_seen", r
-        )
-        st.write_round(edges_new, "edges", r)
-        st.write_round(docs_new, "docs", r)
-        st.write_round(
-            popped.select(
-                F.lit(r).alias("round"), "seq", "url", "host", "depth", "score", "attempt"
-            ),
-            "crawl_log",
-            r,
-        )
-        st.write_round(evictions, "evictions", r)
-        _t = _tlog("writes", _t)
 
-        # ---- bloom/cuckoo sidecars: copy-forward + per-bucket executor update ----
-        if self.use_filters:
+        def _bloom_task():
             new_dir = st.bloom_dir(r)
             os.makedirs(new_dir, exist_ok=True)
             prev_dir = st.bloom_dir(prev)
@@ -545,12 +525,57 @@ class CrawlEngine:
             if n_new:
                 upd = make_seen_update_fn(prev_dir, new_dir, cfg)
                 (
-                    new_rows.select("url_hash", F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"))
+                    new_rows.select(
+                        "url_hash",
+                        F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
+                    )
                     .groupBy("bucket")
                     .applyInPandas(upd, "bucket int, added long, overflowed boolean")
                     .collect()
                 )
-            _t = _tlog("bloom_update", _t)
+
+        def _pop_stats_task():
+            return {
+                int(row["partition_id"]): row
+                for row in popped_res.groupBy(part).agg(
+                    F.count("*").alias("fetched"),
+                    F.sum((F.col("n_results") > 0).cast("long")).alias("hits"),
+                    F.sum("n_results").alias("results"),
+                    F.sum(evict_cond.cast("long")).alias("evicted"),
+                ).collect()
+            }
+
+        with ThreadPoolExecutor(max_workers=10) as pool:
+            futs = [
+                pool.submit(st.write_round, f_next, "frontier", r),
+                pool.submit(st.write_round, hosts_next, "hosts", r),
+                pool.submit(
+                    st.write_round,
+                    new_rows.select("url_hash", "url", F.lit(r).alias("first_round")),
+                    "url_seen", r,
+                ),
+                pool.submit(st.write_round, edges_new, "edges", r),
+                pool.submit(st.write_round, docs_new, "docs", r),
+                pool.submit(
+                    st.write_round,
+                    popped.select(
+                        F.lit(r).alias("round"), "seq", "url", "host",
+                        "depth", "score", "attempt",
+                    ),
+                    "crawl_log", r,
+                ),
+                pool.submit(st.write_round, evictions, "evictions", r),
+            ]
+            if self.use_filters:
+                futs.append(pool.submit(_bloom_task))
+            fut_stats = pool.submit(_pop_stats_task)
+            fut_count = pool.submit(f_next.count)
+            for f in futs:
+                f.result()
+            pop_stats = fut_stats.result()
+            frontier_n = fut_count.result()
+        n_evicted = sum(int(row["evicted"]) for row in pop_stats.values())
+        _t = _tlog("writes_parallel", _t)
 
         # ---- per-partition lineage + metrics --------------------------------------
         wall_ms = int((time.time() - t0) * 1000)
@@ -561,14 +586,8 @@ class CrawlEngine:
                 "bloom": st.bloom_dir(prev) if self.use_filters else None,
             }
         )
-        # one single-stage job over the already-materialized new_urls checkpoint
-        # (pop_stats was computed above, fused with the eviction count)
-        new_stats = {
-            int(row["partition_id"]): int(row["new_urls"])
-            for row in new_urls.groupBy(part).agg(
-                F.count("*").alias("new_urls")
-            ).collect()
-        }
+        # pop_stats / new_stats were collected above (fused jobs) — pure
+        # driver-side assembly from here
         rows = []
         total_hits = total_results = 0
         for pid in sorted(set(pop_stats) | set(new_stats)):
@@ -606,7 +625,6 @@ class CrawlEngine:
                 "wall_ms": wall_ms,
             },
         )
-        self._mem = {("frontier", r): f_next, ("hosts", r): hosts_next}
         return frontier_n
 
     # ------------------------------------------------------------------ outputs

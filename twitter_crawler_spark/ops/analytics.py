@@ -626,3 +626,141 @@ ANALYTICS_QUERIES = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "info_transfer": (q_info_transfer, None),  # non-SQL (grouped Arrow UDF)
 }
+
+
+# ---------------------------------------------------------------------------
+# projection / sink-shape family (SURVEY.md §2.2 P9-P13, §2.3 D6, §2.4 F10/F11,
+# §2.7 O2)
+# ---------------------------------------------------------------------------
+
+
+def q_first_wins_dim(spark, sf_dir):
+    """First-wins dimension fill (D6): each customer's FIRST order — the
+    ``row_number() == 1 then MERGE WHEN NOT MATCHED`` pattern replacing the
+    reference's ``if userNode("i").isEmpty`` guards
+    (storages/GraphStorage.scala:83-123)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        .orderBy("o_custkey")
+    )
+
+
+SQL_FIRST_WINS = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey AS first_orderkey FROM r WHERE rk = 1
+ORDER BY o_custkey
+"""
+
+
+def q_backfill_batch(spark, sf_dir):
+    """Dimension-backfill queue batch (F10/F11 + O2 skip/limit): customers
+    lacking any order, in deterministic order, one pagination page
+    (``drop(1) take(size)`` analog, storages/GraphStorage.scala:299-311)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name")
+        .offset(10)
+        .limit(100)
+    )
+
+
+SQL_BACKFILL_BATCH = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+LIMIT 100 OFFSET 10
+"""
+
+
+def q_collect_names(spark, sf_dir):
+    """Per-key collected name list rendered as a sorted '|'-joined string
+    (A2 collect + P12 list→delimited, storages/StreamStorage.scala:33-38 —
+    string form keeps the driver's value-hash array-free)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_set("c_name")), "|").alias("names_str"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_COLLECT_NAMES = """
+SELECT n_name, COUNT(*) AS n_customers,
+       array_to_string(list_sort(list(DISTINCT c_name)), '|') AS names_str
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY n_name
+"""
+
+
+def q_render_rows(spark, sf_dir):
+    """TSV-row rendering scalars (P11 date format + P13 format_string + P9
+    null-guard coalesce), the StreamStorage.scala:18-31 row writers."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.format_string(
+            "%d\t%s\t%s",
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "dd.MM.yyyy/HH:mm"),
+            F.coalesce("o_orderpriority", F.lit("")),
+        ).alias("row_tsv"),
+    ).orderBy("o_orderkey")
+
+
+SQL_RENDER_ROWS = """
+SELECT o_orderkey,
+       printf('%d\t%s\t%s', o_orderkey,
+              strftime(o_orderdate, '%d.%m.%Y/%H:%M'),
+              COALESCE(o_orderpriority, '')) AS row_tsv
+FROM orders WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """Property-bag extraction (the reference's ad-hoc string-keyed property
+    bags, GraphStorage.scala:88-115): pull ``k`` out of the JSON props column
+    and aggregate it per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k"))
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "first_wins_dim": (q_first_wins_dim, SQL_FIRST_WINS),
+        "backfill_batch": (q_backfill_batch, SQL_BACKFILL_BATCH),
+        "collect_names": (q_collect_names, SQL_COLLECT_NAMES),
+        "render_rows": (q_render_rows, SQL_RENDER_ROWS),
+        "json_props": (q_json_props, SQL_JSON_PROPS),
+    }
+)
