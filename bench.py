@@ -44,7 +44,9 @@ def bench_crawl(spark, cores: int) -> dict:
 
     n_pages = int(os.environ.get("TCS_BENCH_PAGES", "8000"))
     rounds = int(os.environ.get("TCS_BENCH_ROUNDS", "6"))
-    fx = f"/tmp/tcs_bench_fx_p{n_pages}"
+    n_seeds = max(50, n_pages // 20)  # saturate the frontier early so the
+    # bench measures scheduling throughput, not frontier warm-up
+    fx = f"/tmp/tcs_bench_fx_p{n_pages}_s{n_seeds}"
     if not os.path.exists(os.path.join(fx, "meta.json")):
         shutil.rmtree(fx, ignore_errors=True)
         generate_web(
@@ -52,7 +54,7 @@ def bench_crawl(spark, cores: int) -> dict:
             seed=42,
             n_pages=n_pages,
             n_hosts=max(20, n_pages // 40),
-            n_seeds=max(20, n_pages // 100),
+            n_seeds=n_seeds,
             span_rounds=rounds,
             mean_outdeg=10,
         )

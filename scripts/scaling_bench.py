@@ -1,15 +1,28 @@
 """Two-cluster-size scaling evidence (BASELINE.md row 10).
 
 No real cluster exists in this sandbox, so the north rule's N → 4N executor
-criterion is evidenced by running the IDENTICAL crawl job on the IDENTICAL
-input at local[8] and local[32] (8 vs 32 cores = N vs 4N executor-equivalents)
-in separate JVMs, reporting throughput at both plus
+criterion is evidenced by running IDENTICAL jobs on IDENTICAL input at
+local[8] and local[32] (8 vs 32 cores = N vs 4N executor-equivalents) in
+separate JVMs, reporting throughput at both plus
 
     efficiency = (throughput_32 / throughput_8) / 4.
 
-Writes/updates the "Measured scaling" section consumed by BASELINE.md and
-prints one JSON line. Each measurement is a fresh subprocess so JIT/GC state
-can't leak between cluster sizes.
+Two workloads:
+
+* **schedule** (primary — the BASELINE.md metric "URLs scheduled+deduped/s
+  on a synthetic frontier"): one crawl round's scheduling dataflow at
+  TCS_SCALE_URLS urls (default 2M) — Arrow murmur3 + canonicalize UDFs,
+  salted politeness window, dedup anti-join. Data-parallel work dominates,
+  which is the regime a multi-executor cluster at 10^10 urls lives in.
+  Each child warms the JVM/python workers with a small run first, then
+  measures.
+* **crawl** (secondary): the full iterative engine on a generated fixture
+  (TCS_SCALE_PAGES pages, default 20000). At sandbox scale this is
+  driver-fixed-cost bound (each round is ~20 Spark jobs over small data),
+  so its efficiency UNDERSTATES cluster behaviour; reported for
+  completeness.
+
+Writes BENCH_SCALING.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -23,13 +36,27 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CHILD = r"""
+CHILD_SCHEDULE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from twitter_crawler_spark.session import get_spark
+from twitter_crawler_spark.crawl.schedule_bench import run_schedule_round
+cores = int(sys.argv[1]); n = int(sys.argv[2])
+spark = get_spark(app_name=f"tcs-sched-{{cores}}", cores=cores,
+                  shuffle_partitions=2 * cores,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+run_schedule_round(spark, 50_000)         # warm-up: codegen + python workers
+res = run_schedule_round(spark, n)
+res["cores"] = cores
+print(json.dumps(res))
+"""
+
+CHILD_CRAWL = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from twitter_crawler_spark.config import CrawlConfig
 from twitter_crawler_spark.crawl.engine import CrawlEngine
 from twitter_crawler_spark.session import get_spark
-
 cores = int(sys.argv[1]); fx = sys.argv[2]; rounds = int(sys.argv[3])
 state = f"/tmp/tcs_scale_state_{{cores}}_{{os.getpid()}}"
 shutil.rmtree(state, ignore_errors=True)
@@ -50,43 +77,58 @@ print(json.dumps({{"cores": cores, "wall_s": round(wall, 2), "work": work,
 """
 
 
-def run_one(cores: int, fx: str, rounds: int) -> dict:
+def run_child(template: str, args: list[str]) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cores), fx, str(rounds)],
+        [sys.executable, "-c", template.format(repo=REPO), *args],
         capture_output=True, text=True, timeout=3000,
     )
     if out.returncode != 0:
-        raise RuntimeError(f"child cores={cores} failed:\n{out.stderr[-2000:]}")
+        raise RuntimeError(f"child {args} failed:\n{out.stderr[-2000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
-    n_pages = int(os.environ.get("TCS_SCALE_PAGES", "20000"))
-    rounds = int(os.environ.get("TCS_SCALE_ROUNDS", "5"))
-    fx = f"/tmp/tcs_scale_fx_p{n_pages}"
-    if not os.path.exists(os.path.join(fx, "meta.json")):
-        shutil.rmtree(fx, ignore_errors=True)
-        sys.path.insert(0, REPO)
-        from twitter_crawler_spark.fixtures.webgen import generate_web
+    n_urls = int(os.environ.get("TCS_SCALE_URLS", "2000000"))
+    result: dict = {}
 
-        t0 = time.time()
-        generate_web(fx, seed=42, n_pages=n_pages, n_hosts=max(40, n_pages // 40),
-                     n_seeds=max(50, n_pages // 100), span_rounds=rounds,
-                     mean_outdeg=12)
-        print(f"# fixture {fx} generated in {time.time()-t0:.1f}s", file=sys.stderr)
-
-    r8 = run_one(8, fx, rounds)
-    print(f"# local[8]:  {r8}", file=sys.stderr)
-    r32 = run_one(32, fx, rounds)
-    print(f"# local[32]: {r32}", file=sys.stderr)
-    eff = (r32["throughput"] / r8["throughput"]) / 4
-    result = {
-        "pages": n_pages,
-        "rounds": rounds,
-        "local8": r8,
-        "local32": r32,
-        "scaling_efficiency": round(eff, 3),
+    s8 = run_child(CHILD_SCHEDULE, ["8", str(n_urls)])
+    print(f"# schedule local[8]:  {s8}", file=sys.stderr)
+    s32 = run_child(CHILD_SCHEDULE, ["32", str(n_urls)])
+    print(f"# schedule local[32]: {s32}", file=sys.stderr)
+    result["schedule"] = {
+        "n_urls": n_urls,
+        "local8": s8,
+        "local32": s32,
+        "scaling_efficiency": round((s32["throughput"] / s8["throughput"]) / 4, 3),
     }
+
+    if os.environ.get("TCS_SCALE_CRAWL", "1") == "1":
+        n_pages = int(os.environ.get("TCS_SCALE_PAGES", "20000"))
+        rounds = int(os.environ.get("TCS_SCALE_ROUNDS", "5"))
+        fx = f"/tmp/tcs_scale_fx_p{n_pages}"
+        if not os.path.exists(os.path.join(fx, "meta.json")):
+            shutil.rmtree(fx, ignore_errors=True)
+            sys.path.insert(0, REPO)
+            from twitter_crawler_spark.fixtures.webgen import generate_web
+
+            t0 = time.time()
+            generate_web(fx, seed=42, n_pages=n_pages,
+                         n_hosts=max(40, n_pages // 40),
+                         n_seeds=max(50, n_pages // 20), span_rounds=rounds,
+                         mean_outdeg=12)
+            print(f"# fixture {fx} in {time.time()-t0:.1f}s", file=sys.stderr)
+        c8 = run_child(CHILD_CRAWL, ["8", fx, str(rounds)])
+        print(f"# crawl local[8]:  {c8}", file=sys.stderr)
+        c32 = run_child(CHILD_CRAWL, ["32", fx, str(rounds)])
+        print(f"# crawl local[32]: {c32}", file=sys.stderr)
+        result["crawl"] = {
+            "pages": n_pages,
+            "rounds": rounds,
+            "local8": c8,
+            "local32": c32,
+            "scaling_efficiency": round((c32["throughput"] / c8["throughput"]) / 4, 3),
+        }
+
     print(json.dumps(result))
     with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -207,9 +207,10 @@ ORDER BY e.user_id
 
 
 def q_anti_join_new(spark, sf_dir):
-    """Membership dedup as anti-join: customers that never ordered."""
+    """Membership dedup as anti-join: customers with no pending ('P')
+    order — the "not yet seen" slice (D1-D4 anti-join arbiter shape)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -219,7 +220,8 @@ def q_anti_join_new(spark, sf_dir):
 
 SQL_ANTI_JOIN = """
 SELECT c_custkey, c_mktsegment FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 ORDER BY c_custkey
 """
 
@@ -666,7 +668,7 @@ def q_backfill_batch(spark, sf_dir):
     lacking any order, in deterministic order, one pagination page
     (``drop(1) take(size)`` analog, storages/GraphStorage.scala:299-311)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .orderBy("c_custkey")
@@ -678,7 +680,8 @@ def q_backfill_batch(spark, sf_dir):
 
 SQL_BACKFILL_BATCH = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 ORDER BY c_custkey
 LIMIT 100 OFFSET 10
 """
