@@ -70,22 +70,39 @@ def murmur3_32_scalar(data: bytes, seed: int = 0) -> int:
 
 
 def _pack(strings: "pd.Series | list[str]") -> tuple[np.ndarray, np.ndarray]:
-    """UTF-8 encode a batch of strings into (padded uint8 matrix, lengths)."""
+    """UTF-8 encode a batch of strings into (padded uint8 matrix, lengths).
+
+    Fully vectorized fill: one C-level join of the encoded bytes, then a
+    single fancy-indexed scatter into the padded matrix — no per-row Python
+    in the fill (this runs on every url of every round; a row loop here cost
+    ~1 µs/row and dominated the hashing UDF at millions of urls).
+    """
     if isinstance(strings, pd.Series):
         strings = strings.tolist()
     encoded = [s.encode("utf-8") if s is not None else b"" for s in strings]
-    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=len(encoded))
-    max_len = int(lens.max()) if len(lens) else 0
+    n = len(encoded)
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    max_len = int(lens.max()) if n else 0
     pad = (max_len + 3) // 4 * 4
-    mat = np.zeros((len(encoded), max(pad, 4)), dtype=np.uint8)
-    for i, b in enumerate(encoded):  # packing loop; hash math below is vectorized
-        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    mat = np.zeros((n, max(pad, 4)), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cols = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
+        mat[rows, cols] = flat
     return mat, lens
 
 
 def murmur3_32(strings, seed: int = 0) -> np.ndarray:
     """Vectorized MurmurHash3_x86_32 over a batch of strings → uint32 array."""
-    mat, lens = _pack(strings)
+    return _murmur3_32_packed(*_pack(strings), seed)
+
+
+def _murmur3_32_packed(mat: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Hash a pre-packed batch (lets murmur3_64 pack once for both seeds)."""
     n_rows = mat.shape[0]
     if n_rows == 0:
         return np.empty(0, dtype=np.uint32)
@@ -134,8 +151,9 @@ def murmur3_32(strings, seed: int = 0) -> np.ndarray:
 def murmur3_64(strings) -> np.ndarray:
     """64-bit url hash: (murmur3_32(s, seed=0) << 32) | murmur3_32(s, seed=1),
     reinterpreted as signed int64 (Spark LongType)."""
-    hi = murmur3_32(strings, seed=0).astype(np.uint64)
-    lo = murmur3_32(strings, seed=1).astype(np.uint64)
+    mat, lens = _pack(strings)  # pack once; both seeds reuse it
+    hi = _murmur3_32_packed(mat, lens, seed=0).astype(np.uint64)
+    lo = _murmur3_32_packed(mat, lens, seed=1).astype(np.uint64)
     return ((hi << np.uint64(32)) | lo).view(np.int64)
 
 
