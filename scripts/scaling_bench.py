@@ -45,12 +45,14 @@ cores = int(sys.argv[1]); n = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = get_spark(app_name=f"tcs-sched-{{cores}}", cores=cores,
                   shuffle_partitions=2 * cores,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
-run_schedule_round(spark, 50_000)         # warm-up: codegen + python workers
-runs = [run_schedule_round(spark, n) for _ in range(reps)]
-best = min(runs, key=lambda r: r["wall_s"])  # min wall = least VM-steal noise
-best["cores"] = cores
-best["all_walls"] = [r["wall_s"] for r in runs]
-print(json.dumps(best))
+out = {{"cores": cores}}
+for jvm_only in (True, False):
+    run_schedule_round(spark, 50_000, jvm_only=jvm_only)   # warm-up
+    runs = [run_schedule_round(spark, n, jvm_only=jvm_only) for _ in range(reps)]
+    best = min(runs, key=lambda r: r["wall_s"])  # min wall = least VM-steal noise
+    best["all_walls"] = [r["wall_s"] for r in runs]
+    out["jvm" if jvm_only else "arrow"] = best
+print(json.dumps(out))
 """
 
 CHILD_CRAWL = r"""
@@ -95,9 +97,29 @@ def main() -> None:
     lo, hi = (int(x) for x in os.environ.get("TCS_SCALE_CORES", "2,8").split(","))
     result: dict = {}
 
-    s_lo = run_child(CHILD_SCHEDULE, [str(lo), str(n_urls), reps])
+    # INTERLEAVED measurement: the sandbox host throttles CPU in multi-minute
+    # bursts (identical runs vary 5-20×), so lo/hi children alternate in time
+    # and each config keeps its best (min-wall) observation — the only
+    # estimate that survives the noise.
+    best: dict[int, dict] = {}
+    for i in range(int(reps)):
+        for cores in (lo, hi):
+            r = run_child(CHILD_SCHEDULE, [str(cores), str(n_urls), "1"])
+            print(f"# schedule pass {i} local[{cores}]: "
+                  f"jvm={r['jvm']['wall_s']}s arrow={r['arrow']['wall_s']}s",
+                  file=sys.stderr)
+            cur = best.get(cores)
+            if cur is None:
+                best[cores] = r
+            else:
+                for v in ("jvm", "arrow"):
+                    cur[v]["all_walls"] += r[v]["all_walls"]
+                    if r[v]["wall_s"] < cur[v]["wall_s"]:
+                        keep = cur[v]["all_walls"]
+                        cur[v] = r[v]
+                        cur[v]["all_walls"] = keep
+    s_lo, s_hi = best[lo], best[hi]
     print(f"# schedule local[{lo}]: {s_lo}", file=sys.stderr)
-    s_hi = run_child(CHILD_SCHEDULE, [str(hi), str(n_urls), reps])
     print(f"# schedule local[{hi}]: {s_hi}", file=sys.stderr)
     factor = hi / lo
     result["schedule"] = {
@@ -105,8 +127,15 @@ def main() -> None:
         f"local{lo}": s_lo,
         f"local{hi}": s_hi,
         "core_factor": factor,
+        # headline criterion uses the pure-JVM dataflow: in local[N] the
+        # Arrow-UDF python workers run outside the N task slots, so the
+        # arrow variant's low-N throughput is inflated by hidden extra cores
+        # (a local-mode artifact, not a property of the distributed plan)
         "scaling_efficiency": round(
-            (s_hi["throughput"] / s_lo["throughput"]) / factor, 3
+            (s_hi["jvm"]["throughput"] / s_lo["jvm"]["throughput"]) / factor, 3
+        ),
+        "scaling_efficiency_arrow": round(
+            (s_hi["arrow"]["throughput"] / s_lo["arrow"]["throughput"]) / factor, 3
         ),
     }
 

@@ -1,0 +1,39 @@
+"""Config-variant goldens: crawl-once mode (the reference's ``withRemoving``,
+topologies/SeachUrlOnlyTopology.scala:12) and unfiltered language — each
+variant replays engine vs oracle on a few rounds."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import pytest
+
+from tests.conftest import TEST_CFG
+from twitter_crawler_spark.crawl.engine import CrawlEngine
+from twitter_crawler_spark.oracle.frontier_oracle import FrontierOracle
+
+VARIANTS = {
+    "crawl_once": dataclasses.replace(TEST_CFG, crawl_once=True, max_rounds=4),
+    "no_lang_filter": dataclasses.replace(TEST_CFG, lang_filter=None, max_rounds=3),
+    "no_evict": dataclasses.replace(TEST_CFG, evict_unproductive=False, max_rounds=3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(VARIANTS))
+def test_variant_matches_oracle(spark, fixture_dir, tmp_path_factory, name):
+    cfg = VARIANTS[name]
+    oracle = FrontierOracle(fixture_dir, cfg).run()
+    state = str(tmp_path_factory.mktemp(f"var_{name}") / "s")
+    eng = CrawlEngine(spark, fixture_dir, state, cfg)
+    eng.run()
+    got = [
+        (r.round, r.seq, r.url, r.depth, r.score, r.attempt)
+        for r in eng.crawl_log().orderBy("round", "seq").collect()
+    ]
+    want = [
+        (c["round"], c["seq"], c["url"], c["depth"], c["score"], c["attempt"])
+        for c in oracle.crawl_order
+    ]
+    assert got == want, f"crawl order diverged for variant {name}"
+    seen = {r.url for r in eng.url_seen().collect()}
+    assert seen == oracle.url_seen

@@ -51,12 +51,25 @@ def synthetic_frontier(spark: SparkSession, n_urls: int):
     )
 
 
-def run_schedule_round(spark: SparkSession, n_urls: int) -> dict:
-    """Execute the scheduling dataflow once; returns counts + wall seconds."""
+def run_schedule_round(spark: SparkSession, n_urls: int, jvm_only: bool = False) -> dict:
+    """Execute the scheduling dataflow once; returns counts + wall seconds.
+
+    ``jvm_only=True`` swaps the two Arrow UDFs for pure-JVM equivalents
+    (xxhash64 hashing, expression-based canonicalization). Local-mode
+    scaling measurements use this variant for the N→4N criterion: in
+    ``local[N]`` the Python UDF workers run OUTSIDE the N task slots, so a
+    Python-UDF workload at local[2] silently consumes ~4 host cores and the
+    apparent efficiency at local[8] is deflated — an artifact of local mode,
+    not of the distributed plan. On a real cluster executor sizing provisions
+    the Python workers explicitly, making their cost a constant factor. Both
+    variants are reported by scripts/scaling_bench.py.
+    """
     t0 = time.time()
-    frontier = synthetic_frontier(spark, n_urls).withColumn(
-        "url_hash", murmur3_64_udf("url")
-    )
+    frontier = synthetic_frontier(spark, n_urls)
+    if jvm_only:
+        frontier = frontier.withColumn("url_hash", F.xxhash64("url"))
+    else:
+        frontier = frontier.withColumn("url_hash", murmur3_64_udf("url"))
     order = [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()]
     w1 = Window.partitionBy("host", F.pmod("url_hash", F.lit(HOST_SALT))).orderBy(*order)
     w2 = Window.partitionBy("host").orderBy(*order)
@@ -80,8 +93,25 @@ def run_schedule_round(spark: SparkSession, n_urls: int) -> dict:
                 ),
             )
         ).alias("href"),
-    ).withColumn("dst", canonicalize_udf("href", "url"))
-    cand = cand.select("dst").withColumn("dst_hash", murmur3_64_udf("dst"))
+    )
+    if jvm_only:
+        # expression-based resolve: absolute hrefs pass through; root-relative
+        # and relative hrefs resolve against the base url — same shape of
+        # work (string surgery per candidate), all inside codegen
+        base_dir = F.expr("substring_index(url, '/', 5)")
+        host_part = F.expr("concat('http://', substring_index(substring_index(url, '://', -1), '/', 1))")
+        cand = cand.withColumn(
+            "dst",
+            F.lower(
+                F.when(F.col("href").startswith("http"), F.col("href"))
+                .when(F.col("href").startswith("/"), F.concat(host_part, F.col("href")))
+                .otherwise(F.concat(base_dir, F.lit("/"), F.col("href")))
+            ),
+        )
+        cand = cand.select("dst").withColumn("dst_hash", F.xxhash64("dst"))
+    else:
+        cand = cand.withColumn("dst", canonicalize_udf("href", "url"))
+        cand = cand.select("dst").withColumn("dst_hash", murmur3_64_udf("dst"))
     # 'seen' tier: one fifth of the hash space is already known
     new_urls = cand.where(F.pmod(F.abs(F.col("dst_hash")), F.lit(5)) != 0)
     # exact arbiter: anti-join the remainder against a seen table
@@ -94,6 +124,7 @@ def run_schedule_round(spark: SparkSession, n_urls: int) -> dict:
     wall = time.time() - t0
     return {
         "n_urls": n_urls,
+        "jvm_only": jvm_only,
         "scheduled": n_scheduled,
         "wall_s": round(wall, 2),
         "throughput": round(n_urls / wall, 1),
