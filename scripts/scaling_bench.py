@@ -45,8 +45,10 @@ cores = int(sys.argv[1]); n = int(sys.argv[2]); reps = int(sys.argv[3])
 spark = get_spark(app_name=f"tcs-sched-{{cores}}", cores=cores,
                   shuffle_partitions=2 * cores,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+import os as _os
+_variants = (True,) if _os.environ.get("TCS_SCALE_JVM_ONLY") == "1" else (True, False)
 out = {{"cores": cores}}
-for jvm_only in (True, False):
+for jvm_only in _variants:
     run_schedule_round(spark, 50_000, jvm_only=jvm_only)   # warm-up
     runs = [run_schedule_round(spark, n, jvm_only=jvm_only) for _ in range(reps)]
     best = min(runs, key=lambda r: r["wall_s"])  # min wall = least VM-steal noise
@@ -105,14 +107,13 @@ def main() -> None:
     for i in range(int(reps)):
         for cores in (lo, hi):
             r = run_child(CHILD_SCHEDULE, [str(cores), str(n_urls), "1"])
-            print(f"# schedule pass {i} local[{cores}]: "
-                  f"jvm={r['jvm']['wall_s']}s arrow={r['arrow']['wall_s']}s",
-                  file=sys.stderr)
+            walls = " ".join(f"{k}={r[k]['wall_s']}s" for k in ("jvm", "arrow") if k in r)
+            print(f"# schedule pass {i} local[{cores}]: {walls}", file=sys.stderr)
             cur = best.get(cores)
             if cur is None:
                 best[cores] = r
             else:
-                for v in ("jvm", "arrow"):
+                for v in [k for k in ("jvm", "arrow") if k in r]:
                     cur[v]["all_walls"] += r[v]["all_walls"]
                     if r[v]["wall_s"] < cur[v]["wall_s"]:
                         keep = cur[v]["all_walls"]
@@ -134,10 +135,11 @@ def main() -> None:
         "scaling_efficiency": round(
             (s_hi["jvm"]["throughput"] / s_lo["jvm"]["throughput"]) / factor, 3
         ),
-        "scaling_efficiency_arrow": round(
-            (s_hi["arrow"]["throughput"] / s_lo["arrow"]["throughput"]) / factor, 3
-        ),
     }
+    if "arrow" in s_lo and "arrow" in s_hi:
+        result["schedule"]["scaling_efficiency_arrow"] = round(
+            (s_hi["arrow"]["throughput"] / s_lo["arrow"]["throughput"]) / factor, 3
+        )
 
     if os.environ.get("TCS_SCALE_CRAWL", "1") == "1":
         n_pages = int(os.environ.get("TCS_SCALE_PAGES", "20000"))
