@@ -123,8 +123,8 @@ def canonicalize_series(href: pd.Series, base_url: pd.Series) -> pd.Series:
     path_tail = rest.str.split("/", n=1).str[1]
     path = ("/" + path_tail.fillna("")).where(~absu.isna(), pd.NA)
 
-    http80 = (scheme == "http") & host.str.endswith(":80").fillna(False)
-    https443 = (scheme == "https") & host.str.endswith(":443").fillna(False)
+    http80 = (scheme == "http") & (host.str.endswith(":80") == True)  # noqa: E712 — nullable bool, avoids object-downcast fillna
+    https443 = (scheme == "https") & (host.str.endswith(":443") == True)  # noqa: E712
     host = host.mask(http80, host.str[:-3]).mask(https443, host.str[:-4])
 
     out = scheme + "://" + host + path
