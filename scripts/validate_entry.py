@@ -66,6 +66,19 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             failures.append(name)
             print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
             continue
+        # The driver's value hash is dtype/rendering-sensitive: an int64 Spark
+        # column vs a float64 oracle column (DuckDB HUGEINT rendering) hashes
+        # differently even when values are equal. Replicate that strictness.
+        kind_drift = [
+            c for c in a.columns
+            if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"}
+        ]
+        if kind_drift:
+            failures.append(name)
+            print(f"FAIL  {name}: int-vs-float dtype drift in {kind_drift} "
+                  f"(spark {[str(a[c].dtype) for c in kind_drift]} vs "
+                  f"oracle {[str(b[c].dtype) for c in kind_drift]})")
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"OK    {name}: {len(a)} rows ({dt:.1f}s)")

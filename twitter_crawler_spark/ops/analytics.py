@@ -114,7 +114,7 @@ WITH outdeg AS (
   SELECT l_orderkey, COUNT(*) AS outdeg FROM lineitem GROUP BY 1
 )
 SELECT l_partkey,
-       SUM(CAST(floor(o_totalprice * 100) AS BIGINT) // outdeg) AS total_gain,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT) // outdeg) AS BIGINT) AS total_gain,
        COUNT(*) AS n_edges
 FROM lineitem
 JOIN outdeg USING (l_orderkey)
@@ -162,7 +162,7 @@ def q_eviction_unproductive(spark, sf_dir):
 
 SQL_EVICTION = """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events
 GROUP BY user_id
 HAVING SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) >= 1
@@ -194,7 +194,7 @@ cur AS (
   SELECT user_id, MAX(tsl) AS cursor FROM e WHERE event_type = 'click' GROUP BY 1
 )
 SELECT e.user_id, cursor,
-       SUM(CASE WHEN tsl > cursor THEN 1 ELSE 0 END) AS n_after_cursor
+       CAST(SUM(CASE WHEN tsl > cursor THEN 1 ELSE 0 END) AS BIGINT) AS n_after_cursor
 FROM e JOIN cur ON e.user_id = cur.user_id
 GROUP BY e.user_id, cursor
 ORDER BY e.user_id
@@ -391,10 +391,10 @@ WITH g AS (
   FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN {_GAP_BIN} = 0 THEN 1 ELSE 0 END) AS bin0,
-       SUM(CASE WHEN {_GAP_BIN} = 1 THEN 1 ELSE 0 END) AS bin1,
-       SUM(CASE WHEN {_GAP_BIN} = 2 THEN 1 ELSE 0 END) AS bin2,
-       SUM(CASE WHEN {_GAP_BIN} = 3 THEN 1 ELSE 0 END) AS bin3
+       CAST(SUM(CASE WHEN {_GAP_BIN} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bin0,
+       CAST(SUM(CASE WHEN {_GAP_BIN} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bin1,
+       CAST(SUM(CASE WHEN {_GAP_BIN} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bin2,
+       CAST(SUM(CASE WHEN {_GAP_BIN} = 3 THEN 1 ELSE 0 END) AS BIGINT) AS bin3
 FROM g WHERE gap IS NOT NULL
 GROUP BY user_id ORDER BY user_id
 """
@@ -435,7 +435,7 @@ b AS (
   FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
 ),
 agg AS (
-  SELECT user_id, SUM(c) AS n_gaps,
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_gaps,
          SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
   FROM b GROUP BY 1
 )
@@ -470,7 +470,7 @@ WITH e AS (
   FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN tsl <= first_ts + 3600 THEN 1 ELSE 0 END) AS n_first_hour,
+       CAST(SUM(CASE WHEN tsl <= first_ts + 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_hour,
        COUNT(*) AS n_total
 FROM e GROUP BY 1 ORDER BY user_id
 """
@@ -499,9 +499,9 @@ def q_tpch_q1(spark, sf_dir):
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+       CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01'
@@ -530,7 +530,7 @@ def q_tpch_q3(spark, sf_dir):
 
 SQL_TPCH_Q3 = """
 SELECT l_orderkey,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -583,7 +583,6 @@ def q_info_transfer(spark, sf_dir):
         .select("user_id")
     )
     sel = ev.join(F.broadcast(top), "user_id")
-    a, b = sel.alias("a"), top.alias("b")
     pairs = (
         top.alias("x").join(top.alias("y"),
                             F.col("x.user_id") < F.col("y.user_id"))
@@ -752,7 +751,7 @@ def q_json_props(spark, sf_dir):
 
 SQL_JSON_PROPS = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY 1 ORDER BY event_type
 """
