@@ -48,6 +48,12 @@ def test_multimodal_features_match_reference(spark):
 
 
 def test_info_transfer_matches_pandas(spark):
+    """Pin the Spark plumbing (top-8 selection, pair enumeration, min-count
+    filter, both directions) against a pandas recomputation. The IT metric
+    itself is separately twin-pinned in tests/test_infotransfer.py against a
+    literal transcription of the reference Scala."""
+    from twitter_crawler_spark.ops.infotransfer import MIN_POINTS_IT, calculate_it
+
     got = entrymod.queries()["info_transfer"](spark, SF).toPandas()
     ev = pd.read_parquet(f"{SF}/events.parquet")
     # parquet timestamps load as datetime64[us]; normalize to ns then seconds
@@ -57,25 +63,24 @@ def test_info_transfer_matches_pandas(spark):
     counts = ev.groupby("user_id").size().sort_values(ascending=False)
     # top-8 with (count desc, user_id asc) tie-break
     order = sorted(counts.index, key=lambda u: (-counts[u], u))[:8]
+    series = {
+        u: sorted(set(ev.loc[ev.user_id == u, "tsl"].tolist())) for u in order
+    }
     rows = []
-    for i, ua in enumerate(sorted(order)):
+    for ua in sorted(order):
         for ub in sorted(order):
             if ua >= ub:
                 continue
-            a = np.sort(ev.loc[ev.user_id == ua, "tsl"].to_numpy())
-            b = np.sort(ev.loc[ev.user_id == ub, "tsl"].to_numpy())
-            for width in (3600, 21600):
-                lo = min(a.min(), b.min())
-                ba = np.unique((a - lo) // width)
-                bb = np.unique((b - lo) // width)
-                joint = len(np.intersect1d(ba, bb))
-                union = len(np.union1d(ba, bb))
-                rows.append((ua, ub, width, len(ba), len(bb), joint, round(joint / union, 6)))
+            a, b = series[ua], series[ub]
+            if len(a) < MIN_POINTS_IT or len(b) < MIN_POINTS_IT:
+                continue
+            rows.append((ua, ub, len(a), len(b),
+                         round(calculate_it(a, b), 6), round(calculate_it(b, a), 6)))
     want = pd.DataFrame(
-        rows,
-        columns=["user_a", "user_b", "bin_width", "bins_a", "bins_b", "joint_bins", "overlap"],
-    ).sort_values(["user_a", "user_b", "bin_width"]).reset_index(drop=True)
-    got = got.sort_values(["user_a", "user_b", "bin_width"]).reset_index(drop=True)
+        rows, columns=["user_a", "user_b", "n_a", "n_b", "it_ab", "it_ba"]
+    ).sort_values(["user_a", "user_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    got = got.sort_values(["user_a", "user_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

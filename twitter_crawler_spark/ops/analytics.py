@@ -543,37 +543,33 @@ GROUP BY 1 ORDER BY revenue_c DESC, l_orderkey LIMIT 10
 # A12: pairwise information transfer (grouped Arrow UDF — non-SQL tier)
 # ---------------------------------------------------------------------------
 
-_IT_BINS = (3600, 21600)  # bin widths (1h, 6h) — analog of metrics/package.scala:11
-
 
 def _it_for_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Information-transfer sweep for one user pair (vectorized numpy inside
-    the Arrow batch; the per-pair sweep is inherently sequential —
-    metrics/JoinedProcesses.scala:20-66)."""
+    """Exact reference information transfer for one user pair, both
+    directions (metrics/JoinedProcesses.scala:49-66 via ops/infotransfer.py;
+    the per-pair dwell sweep is inherently sequential, pairs parallelize
+    across groups). Pairs where either series has < 10 points are dropped
+    (package.scala:26)."""
+    from twitter_crawler_spark.ops.infotransfer import MIN_POINTS_IT, calculate_it
+
     ua, ub = pdf["user_a"].iloc[0], pdf["user_b"].iloc[0]
-    a = np.sort(pdf.loc[pdf["which"] == 0, "tsl"].to_numpy())
-    b = np.sort(pdf.loc[pdf["which"] == 1, "tsl"].to_numpy())
-    rows = []
-    for width in _IT_BINS:
-        lo = min(a.min(), b.min())
-        bins_a = np.unique((a - lo) // width)
-        bins_b = np.unique((b - lo) // width)
-        joint = len(np.intersect1d(bins_a, bins_b, assume_unique=True))
-        union = len(np.union1d(bins_a, bins_b))
-        rows.append((int(ua), int(ub), int(width), len(bins_a), len(bins_b), joint,
-                     round(joint / union, 6)))
+    a = sorted(set(pdf.loc[pdf["which"] == 0, "tsl"].tolist()))
+    b = sorted(set(pdf.loc[pdf["which"] == 1, "tsl"].tolist()))
+    cols = ["user_a", "user_b", "n_a", "n_b", "it_ab", "it_ba"]
+    if len(a) < MIN_POINTS_IT or len(b) < MIN_POINTS_IT:
+        return pd.DataFrame(columns=cols)
     return pd.DataFrame(
-        rows,
-        columns=["user_a", "user_b", "bin_width", "bins_a", "bins_b",
-                 "joint_bins", "overlap"],
+        [(int(ua), int(ub), len(a), len(b),
+          round(calculate_it(a, b), 6), round(calculate_it(b, a), 6))],
+        columns=cols,
     )
 
 
 def q_info_transfer(spark, sf_dir):
-    """Pairwise co-activity / information-transfer features for the 8 most
-    active users (J7 bounded pair cross + A12 grouped sweep). Non-SQL tier:
-    correctness is covered by the pytest pandas recomputation, the driver
-    records a rows-only check."""
+    """Pairwise information transfer for the 8 most active users (J7 bounded
+    pair cross + A12 grouped sweep, direct + reverse per pair as in
+    package.scala:29-31). Non-SQL tier: correctness is pinned by the pytest
+    twin-implementation comparison, the driver records a rows-only check."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("tsl")
     )
@@ -596,14 +592,14 @@ def q_info_transfer(spark, sf_dir):
         "user_a", "user_b", "tsl", F.lit(1).alias("which")
     )
     schema = (
-        "user_a long, user_b long, bin_width int, bins_a int, bins_b int,"
-        " joint_bins int, overlap double"
+        "user_a long, user_b long, n_a long, n_b long,"
+        " it_ab double, it_ba double"
     )
     return (
         ev_a.unionByName(ev_b)
         .groupBy("user_a", "user_b")
         .applyInPandas(_it_for_group, schema)
-        .orderBy("user_a", "user_b", "bin_width")
+        .orderBy("user_a", "user_b")
     )
 
 

@@ -58,32 +58,16 @@ ORDER BY digest
 """
 
 
-def sql_dedup_ngram_jaccard(d: str) -> str:
-    """Character-3-gram Jaccard over within-source candidate blocks."""
-    grams = E.char_ngrams("text", 3, d)
-    if d == "spark":
-        inter = "size(array_intersect(a.grams, b.grams))"
-        union = "size(array_union(a.grams, b.grams))"
-    else:
-        inter = "len(list_intersect(a.grams, b.grams))"
-        union = "len(list_distinct(list_concat(a.grams, b.grams)))"
-    return f"""
-WITH g AS (
-  SELECT doc_id, source, {grams} AS grams FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST({inter} AS DOUBLE) / {union}, 6) AS jaccard
-FROM g a JOIN g b
-  ON a.source = b.source AND a.doc_id < b.doc_id
-ORDER BY jaccard DESC, doc_a, doc_b
-LIMIT 20
-"""
+# Bounded verify fan-out: at most this many LSH candidates are exact-verified
+# per document (ranked by shared-band count) — caps per-item work and kills
+# hot-cluster skew at 100 TB (a duplicate cluster of size m otherwise costs
+# O(m²) verifications).
+JACCARD_CAND_CAP = 8
 
 
-def sql_dedup_minhash_lsh(d: str) -> str:
-    """MinHash signatures + LSH banding: near-dup candidate pairs become an
-    equi-join on (band, band_key) — the 100 TB-scalable plan (no cross
-    join anywhere)."""
+def _lsh_cte(d: str) -> str:
+    """Shared MinHash-LSH banding CTE chain (hashes → sigs → bands) used by
+    both the candidate-pair query and the Jaccard verify tier."""
     sig = E.minhash_sig("h", d)
     band_cols = ",\n       ".join(
         f"{E.band_key(sig, b, d)} AS band{b}" for b in range(E.LSH_BANDS)
@@ -102,14 +86,66 @@ def sql_dedup_minhash_lsh(d: str) -> str:
             f"SELECT doc_id, {b} AS band, band{b} AS key FROM sigs"
             for b in range(E.LSH_BANDS)
         )
-    return f"""
-WITH hashes AS (
+    return f"""hashes AS (
   SELECT doc_id, {E.token_hashes("text", d)} AS h FROM documents
 ),
 sigs AS (
   SELECT doc_id, {band_cols} FROM hashes
 ),
-bands AS ({bands})
+bands AS ({bands})"""
+
+
+def sql_dedup_ngram_jaccard(d: str) -> str:
+    """Exact character-3-gram Jaccard as the VERIFY tier over MinHash-LSH
+    candidate pairs (never an all-pairs scan): banding equi-join proposes
+    candidates, a per-doc top-{JACCARD_CAND_CAP} cap (by shared-band count)
+    bounds the verify fan-out, then set arithmetic scores the survivors.
+    |A∪B| = |A|+|B|−|A∩B| since gram arrays are distinct."""
+    grams = E.char_ngrams("text", 3, d)
+    inter = (
+        "size(array_intersect(ga.grams, gb.grams))"
+        if d == "spark"
+        else "len(list_intersect(ga.grams, gb.grams))"
+    )
+    sz = "size" if d == "spark" else "len"
+    return f"""
+WITH {_lsh_cte(d)},
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+capped AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           ROW_NUMBER() OVER (PARTITION BY doc_a
+                              ORDER BY n_shared_bands DESC, doc_b) AS rk
+    FROM cand
+  ) ranked WHERE rk <= {JACCARD_CAND_CAP}
+),
+g AS (SELECT doc_id, {grams} AS grams FROM documents),
+scored AS (
+  SELECT c.doc_a, c.doc_b, {inter} AS inter,
+         {sz}(ga.grams) AS na, {sz}(gb.grams) AS nb
+  FROM capped c
+  JOIN g ga ON ga.doc_id = c.doc_a
+  JOIN g gb ON gb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM scored
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+def sql_dedup_minhash_lsh(d: str) -> str:
+    """MinHash signatures + LSH banding: near-dup candidate pairs become an
+    equi-join on (band, band_key) — the 100 TB-scalable plan (no cross
+    join anywhere)."""
+    return f"""
+WITH {_lsh_cte(d)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -118,20 +154,64 @@ ORDER BY n_shared_bands DESC, doc_a, doc_b
 """
 
 
+# SimHash near-pair banding: hamming ≤ SIMHASH_MAX_HAMMING over SIMHASH_BITS
+# bits, pigeonholed into SIMHASH_CHUNKS equal chunks — any pair within the
+# hamming radius must agree exactly on ≥ 1 chunk (3 flipped bits cannot touch
+# all 4 chunks), so candidates come from an equi-join on (chunk_idx,
+# chunk_val) and the exact hamming filter never sees an all-pairs product.
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 3
+_CHUNK_W = E.SIMHASH_BITS // SIMHASH_CHUNKS  # bits per chunk
+
+
 def sql_dedup_simhash(d: str) -> str:
-    """SimHash fingerprints + near-pair report (hamming ≤ 3 within a lang)."""
+    """SimHash near-pair report (hamming ≤ {SIMHASH_MAX_HAMMING} within a
+    lang) via pigeonhole chunk banding — result-identical to the all-pairs
+    formulation (the banding is exact, not approximate) but the join is an
+    equi-join on (lang, chunk, chunk_val).
+
+    Scale note: with the 16-bit integer-exact fingerprint the 4-bit chunk
+    key space is small (lang × 4 × 16); at 100 TB you widen the fingerprint
+    (64-bit token hashes → 16-bit chunks) and the geometry is unchanged."""
+    chunk_vals = ",\n         ".join(
+        f"({_intdiv('sh', str(1 << (_CHUNK_W * c)), d)} % {1 << _CHUNK_W}) AS c{c}"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    if d == "spark":
+        chunks = (
+            "SELECT doc_id, lang, sh, chunk, val FROM sc "
+            "LATERAL VIEW stack("
+            + str(SIMHASH_CHUNKS)
+            + ", "
+            + ", ".join(f"{c}, c{c}" for c in range(SIMHASH_CHUNKS))
+            + ") AS chunk, val"
+        )
+    else:
+        chunks = " UNION ALL ".join(
+            f"SELECT doc_id, lang, sh, {c} AS chunk, c{c} AS val FROM sc"
+            for c in range(SIMHASH_CHUNKS)
+        )
     return f"""
 WITH s AS (
   SELECT doc_id, lang, {E.simhash(E.token_hashes("text", d), d)} AS sh
   FROM documents
 ),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         bit_count({_xor("a.sh", "b.sh", d)}) AS hamming
-  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+sc AS (
+  SELECT doc_id, lang, sh,
+         {chunk_vals}
+  FROM s
+),
+chunks AS ({chunks}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.lang = b.lang AND a.chunk = b.chunk AND a.val = b.val
+   AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM pairs
-WHERE hamming <= 3
+SELECT doc_a, doc_b, bit_count({_xor("sh_a", "sh_b", d)}) AS hamming
+FROM cand
+WHERE bit_count({_xor("sh_a", "sh_b", d)}) <= {SIMHASH_MAX_HAMMING}
 ORDER BY hamming, doc_a, doc_b
 """
 
@@ -146,15 +226,23 @@ ORDER BY doc_id
 
 
 def sql_dedup_embedding_nn(d: str) -> str:
-    """Embedding near-dup: each vector's nearest same-label neighbour by
-    cosine (double math with identical fold order in both engines)."""
+    """Embedding near-dup, LSH-routed (the scale path): each vector's nearest
+    cosine neighbour among vectors sharing its (label, hyperplane-LSH
+    bucket) — the bucket equi-join replaces the within-label all-pairs
+    product (quadratic in the largest label at 100 TB). Vectors whose bucket
+    holds no other same-label vector have no near-dup candidate and emit no
+    row; ``ann_bruteforce_topk`` remains the exact-search baseline."""
     cos = E.cosine("a.embedding", "b.embedding", d)
     return f"""
-WITH p AS (
+WITH h AS (
+  SELECT vec_id, label, embedding, {_lsh_bucket("embedding", d)} AS bucket
+  FROM embeddings
+),
+p AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
          {cos} AS cos
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM h a JOIN h b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 r AS (
   SELECT vec_id, nn_id, cos,
