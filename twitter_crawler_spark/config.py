@@ -70,6 +70,10 @@ class CrawlConfig:
     # bucket = murmur3_64(url) % pages_buckets subdirectories so the fetch join
     # prunes partitions (Iceberg bucket-partition analog)
     pages_buckets: int = 16
+    # parallelism of the global pop-order assignment: the popped batch is
+    # range-partitioned on the priority key and ranked per range partition
+    # (+ driver offsets) instead of through one single-partition window
+    seq_range_partitions: int = 16
 
     @property
     def default_host_policy(self) -> tuple[int, int]:

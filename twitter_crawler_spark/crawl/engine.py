@@ -33,16 +33,6 @@ from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-
-_TIMING = os.environ.get("TCS_TIMING", "") == "1"
-
-
-def _tlog(label: str, t0: float) -> float:
-    """Stage-timing probe (enabled via TCS_TIMING=1); returns now."""
-    now = time.time()
-    if _TIMING:
-        print(f"    [timing] {label}: {now - t0:.2f}s", flush=True)
-    return now
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -53,6 +43,16 @@ from twitter_crawler_spark.crawl.state import SnapshotStore
 from twitter_crawler_spark.functions.hashing import murmur3_64_udf
 from twitter_crawler_spark.functions.html import decode_html, extract_links, extract_text
 from twitter_crawler_spark.functions.urls import canonicalize_udf
+
+_TIMING = os.environ.get("TCS_TIMING", "") == "1"
+
+
+def _tlog(label: str, t0: float) -> float:
+    """Stage-timing probe (enabled via TCS_TIMING=1); returns now."""
+    now = time.time()
+    if _TIMING:
+        print(f"    [timing] {label}: {now - t0:.2f}s", flush=True)
+    return now
 
 
 def _host_col(url):
@@ -163,7 +163,11 @@ class CrawlEngine:
             .withColumn("last_cursor", F.lit(-1).cast("long"))
             .withColumn("src_round", F.lit(-1))
         )
-        fr = s.createDataFrame(fr.toPandas(), schemas.FRONTIER).cache()
+        # pure DataFrame schema alignment — no driver round-trip (seeds may be
+        # a 10^7-row list at the design point)
+        fr = fr.select(
+            *[F.col(f.name).cast(f.dataType) for f in schemas.FRONTIER.fields]
+        ).cache()
         hosts = self.politeness.withColumn("last_fetch_round", F.lit(None).cast("int"))
         seen = fr.select(
             "url_hash", "url", F.lit(-1).alias("first_round")
@@ -202,6 +206,76 @@ class CrawlEngine:
         summary["final_round"] = self.store.committed_round()
         return summary
 
+    # ------------------------------------------------------------------ pop
+    # (factored so scripts/plan_audit.py can audit the real dataflow)
+
+    @staticmethod
+    def _order_cols() -> list:
+        return [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()]
+
+    def _pop_survivors(self, frontier: DataFrame, hosts: DataFrame, t_r: int, r: int) -> DataFrame:
+        """Due filter + crawl-delay gate + salted per-host budget window.
+
+        Hot-host skew: stage 1 ranks inside (host, salt) slices so no single
+        task sorts a whole hot domain; stage 2 re-ranks the ≤ salt*budget
+        survivors per host — result is identical to a direct per-host top-k."""
+        cfg = self.cfg
+        due = (
+            frontier.join(hosts, "host", "left")
+            .withColumn("budget", F.coalesce("budget_per_round", F.lit(cfg.default_budget)))
+            .withColumn("delay", F.coalesce("crawl_delay_rounds", F.lit(cfg.default_crawl_delay)))
+            .where(
+                (F.col("next_fetch_ts") <= t_r)
+                & (
+                    F.col("last_fetch_round").isNull()
+                    | (F.lit(r) >= F.col("last_fetch_round") + F.col("delay"))
+                )
+            )
+        )
+        order = self._order_cols()
+        w1 = Window.partitionBy("host", F.pmod("url_hash", F.lit(cfg.host_salt))).orderBy(*order)
+        w2 = Window.partitionBy("host").orderBy(*order)
+        return (
+            due.withColumn("rk1", F.row_number().over(w1))
+            .where(F.col("rk1") <= F.col("budget"))
+            .withColumn("rk2", F.row_number().over(w2))
+            .where(F.col("rk2") <= F.col("budget"))
+            .drop("rk1", "rk2")
+        )
+
+    def _pop_ranged(self, survivors: DataFrame) -> DataFrame:
+        """Range-shuffle the batch on the priority key and tag each row with
+        its physical range partition (_pid) + pages bucket (_b). First half of
+        the global pop-order assignment — see ``_attach_seq``."""
+        cfg = self.cfg
+        return (
+            survivors.repartitionByRange(cfg.seq_range_partitions, *self._order_cols())
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_b", F.pmod("url_hash", F.lit(cfg.pages_buckets)))
+        )
+
+    def _attach_seq(self, ranged: DataFrame, offsets: dict[int, int]) -> DataFrame:
+        """Global total order → seq, WITHOUT a single-partition window (the
+        10^10-frontier scale killer): rank inside each range partition in
+        parallel, then add the driver-computed partition offsets. The priority
+        key is a total order (url tie-break), so the result is identical to a
+        global row_number no matter where the sampled range boundaries fall."""
+        if offsets:
+            off_expr = F.element_at(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                F.col("_pid"),
+            )
+        else:
+            off_expr = F.lit(0)
+        w_pid = Window.partitionBy("_pid").orderBy(*self._order_cols())
+        return (
+            ranged.withColumn("seq", F.row_number().over(w_pid) - 1 + off_expr)
+            .select(
+                "url", "url_hash", "host", "depth", "score", "attempt",
+                "next_fetch_ts", "last_cursor", "src_round", "seq",
+            )
+        )
+
     # ------------------------------------------------------------------ a round
 
     def _round(self, r: int) -> int:
@@ -221,56 +295,33 @@ class CrawlEngine:
         _t = time.time()
 
         # ---- pop: due filter + crawl-delay + salted per-host budget window ----
-        due = (
-            frontier.join(hosts, "host", "left")
-            .withColumn("budget", F.coalesce("budget_per_round", F.lit(cfg.default_budget)))
-            .withColumn("delay", F.coalesce("crawl_delay_rounds", F.lit(cfg.default_crawl_delay)))
-            .where(
-                (F.col("next_fetch_ts") <= t_r)
-                & (
-                    F.col("last_fetch_round").isNull()
-                    | (F.lit(r) >= F.col("last_fetch_round") + F.col("delay"))
-                )
-            )
-        )
-        # hot-host skew: stage 1 ranks inside (host, salt) slices so no single
-        # task sorts a whole hot domain; stage 2 re-ranks the ≤ salt*budget
-        # survivors per host — result is identical to a direct per-host top-k
-        order = [F.col("depth").asc(), F.col("score").desc(), F.col("url").asc()]
-        w1 = Window.partitionBy("host", F.pmod("url_hash", F.lit(cfg.host_salt))).orderBy(*order)
-        w2 = Window.partitionBy("host").orderBy(*order)
-        popped = (
-            due.withColumn("rk1", F.row_number().over(w1))
-            .where(F.col("rk1") <= F.col("budget"))
-            .withColumn("rk2", F.row_number().over(w2))
-            .where(F.col("rk2") <= F.col("budget"))
-            .drop("rk1", "rk2")
-        )
-        # global total order → seq (popped batch is small: Σ host budgets)
-        popped = (
-            popped.withColumn("seq", F.row_number().over(Window.orderBy(*order)) - 1)
-            .select(
-                "url", "url_hash", "host", "depth", "score", "attempt",
-                "next_fetch_ts", "last_cursor", "src_round", "seq",
-            )
-            # materialize ONCE and cut lineage: the popped batch is consumed by
-            # five downstream stages; without this every action would replay
-            # the frontier scan + double window sort (local checkpoint = the
-            # per-round dataflow barrier; durability comes from the snapshot
-            # store, not from this)
-            .localCheckpoint()
-        )
-        # one job: batch size + the page buckets it touches (for partition pruning)
-        bucket_counts = popped.groupBy(
-            F.pmod("url_hash", F.lit(cfg.pages_buckets)).alias("b")
-        ).count().collect()
-        n_popped = sum(int(row["count"]) for row in bucket_counts)
+        survivors = self._pop_survivors(frontier, hosts, t_r, r)
+        # The checkpoint pins the sampled range partitioning so the offsets
+        # collected below can never disagree with the window's partitions
+        # (and cuts lineage: the batch is consumed by five downstream stages;
+        # durability comes from the snapshot store, not from this).
+        ranged = self._pop_ranged(survivors).localCheckpoint()
+        # one job: per-(range-partition, page-bucket) counts → batch size,
+        # the bucket list for fetch-join partition pruning, AND the seq
+        # offsets, all from one tiny collect
+        pb_counts = ranged.groupBy("_pid", "_b").count().collect()
+        n_popped = sum(int(row["count"]) for row in pb_counts)
+        pid_totals: dict[int, int] = {}
+        for row in pb_counts:
+            pid_totals[int(row["_pid"])] = pid_totals.get(int(row["_pid"]), 0) + int(row["count"])
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(pid_totals):
+            offsets[pid] = acc
+            acc += pid_totals[pid]
+        popped = self._attach_seq(ranged, offsets).localCheckpoint()
+        bucket_counts = [row for row in pb_counts]
         _t = _tlog("pop", _t)
 
         # ---- fetch join: bucket partition pruning + broadcast of the batch ----
         lang_ok = F.lit(True) if cfg.lang_filter is None else (F.col("lang") == cfg.lang_filter)
         if n_popped:
-            buckets = [int(row["b"]) for row in bucket_counts]
+            buckets = sorted({int(row["_b"]) for row in bucket_counts})
             fetched = (
                 self._pages()
                 .where(F.col("bucket").isin(buckets))
@@ -625,6 +676,14 @@ class CrawlEngine:
                 "wall_ms": wall_ms,
             },
         )
+        # free this round's localCheckpoint blocks eagerly — durability lives
+        # in the snapshot store; relying on GC/ContextCleaner lets executor
+        # storage accumulate across a long crawl
+        for df in (
+            ranged, popped, fetched, res, outlinks, flagged, new_urls,
+            popped_res, f_next, hosts_next, hosts,
+        ):
+            df.unpersist()
         return frontier_n
 
     # ------------------------------------------------------------------ outputs
