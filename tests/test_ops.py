@@ -90,6 +90,29 @@ def test_corpus_queries_run(spark, name):
     assert df.count() > 0
 
 
+def test_url_features_tsv_job(spark, tmp_path):
+    """S11: the composed feature-vector job written through the TSV sink
+    (Main.scala:11-30 saveUrlFeatures → factors.csv analog) round-trips."""
+    from pyspark.sql import functions as F
+    from twitter_crawler_spark.ops.sinks import write_tsv
+
+    df = entrymod.queries()["url_features"](spark, SF)
+    rendered = df.select(
+        "user_id", "n", "n_first_hour",
+        F.coalesce(F.col("gap_entropy").cast("string"), F.lit("NaN")).alias("gap_entropy"),
+        F.coalesce(F.col("fh_gap_entropy").cast("string"), F.lit("NaN")).alias("fh_gap_entropy"),
+        F.coalesce(F.col("co_density").cast("string"), F.lit("NaN")).alias("co_density"),
+    )
+    out = str(tmp_path / "features_tsv")
+    write_tsv(rendered, out)
+    back = spark.read.option("sep", "\t").csv(out)
+    assert back.count() == df.count()
+    assert len(back.columns) == 6
+    # numeric fields survive the round-trip
+    total_n = back.agg(F.sum(F.col(back.columns[1]).cast("long"))).collect()[0][0]
+    assert total_n == df.agg(F.sum("n")).collect()[0][0]
+
+
 def test_tsv_sink_roundtrip(spark, tmp_path):
     """S8/S9 sink: TSV dump with <a|b|c> list encoding round-trips."""
     from twitter_crawler_spark.ops.sinks import NO_ENTITIES, encode_list, write_tsv

@@ -753,6 +753,141 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A13/S11: composed per-key feature vector (metrics/UrlFeatures.scala:13-22,
+# 43-50 featuresFromTs + Main.scala:11-30 saveUrlFeatures)
+# ---------------------------------------------------------------------------
+
+
+def q_url_features(spark, sf_dir):
+    """One row per key with the reference's composed feature vector analog:
+    n (count), n_first_hour (events ≤ first + 1h, inclusive like
+    ``urlTs.to(head + HOUR)``), entropy of the EXACT gap-value distribution
+    (``Distribution(diffStream(urlTs))``, UrlFeatures.scala:44), the same over
+    the first-hour prefix (hourEntropy, UrlFeatures.scala:46-48), and a
+    pairwise co-activity density over the top-8 subgraph (the SQL-expressible
+    stand-in for userFeatures' IT density, UrlFeatures.scala:56-68 — the true
+    IT density lives in the non-SQL ``info_transfer`` query). Users with no
+    gaps (single event) or outside the top-8 carry NULLs, where the reference
+    would emit NaN."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tsl")
+    )
+    base = ev.withColumn("first_ts", F.min("tsl").over(Window.partitionBy("user_id")))
+    per_user = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("tsl") <= F.col("first_ts") + 3600).cast("long")).alias("n_first_hour"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("tsl", "event_id")
+    gaps = (
+        base.withColumn("prev", F.lag("tsl").over(wo))
+        .where(F.col("prev").isNotNull())
+        .withColumn("gap", F.col("tsl") - F.col("prev"))
+        # the first-hour series is a prefix of the sorted series, so a gap
+        # lies inside it iff its LATER endpoint is within the first hour
+        .withColumn("in_fh", F.col("tsl") <= F.col("first_ts") + 3600)
+    )
+
+    def _entropy_of(df, out_col):
+        counts = df.groupBy("user_id", "gap").agg(F.count("*").alias("c"))
+        return counts.groupBy("user_id").agg(
+            F.round(
+                F.log2(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+                / F.sum("c"),
+                6,
+            ).alias(out_col)
+        )
+
+    ent_all = _entropy_of(gaps, "gap_entropy")
+    ent_fh = _entropy_of(gaps.where("in_fh"), "fh_gap_entropy")
+    top = (
+        ev.groupBy("user_id").count()
+        .orderBy(F.desc("count"), "user_id").limit(8)
+        .select("user_id")
+    )
+    hb = ev.select("user_id", F.expr("tsl div 3600").alias("hb")).distinct()
+    th = hb.join(F.broadcast(top), "user_id")
+    a, b = th.alias("a"), th.alias("b")
+    co = (
+        a.join(b, (F.col("a.hb") == F.col("b.hb"))
+               & (F.col("a.user_id") != F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.round(F.count("*") / F.lit(7.0), 6).alias("co_density"))
+    )
+    return (
+        per_user.join(ent_all, "user_id", "left")
+        .join(ent_fh, "user_id", "left")
+        .join(co, "user_id", "left")
+        .select("user_id", "n", "n_first_hour", "gap_entropy",
+                "fh_gap_entropy", "co_density")
+        .orderBy("user_id")
+    )
+
+
+SQL_URL_FEATURES = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsl FROM events
+),
+b AS (
+  SELECT user_id, event_id, tsl,
+         MIN(tsl) OVER (PARTITION BY user_id) AS first_ts
+  FROM e
+),
+pu AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN tsl <= first_ts + 3600 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first_hour
+  FROM b GROUP BY 1
+),
+g AS (
+  SELECT user_id, tsl, first_ts,
+         tsl - LAG(tsl) OVER (PARTITION BY user_id ORDER BY tsl, event_id) AS gap
+  FROM b
+),
+gc AS (
+  SELECT user_id, gap, COUNT(*) AS c FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+),
+ea AS (
+  SELECT user_id,
+         ROUND(log2(CAST(SUM(c) AS DOUBLE))
+               - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / SUM(c), 6)
+           AS gap_entropy
+  FROM gc GROUP BY 1
+),
+gfc AS (
+  SELECT user_id, gap, COUNT(*) AS c FROM g
+  WHERE gap IS NOT NULL AND tsl <= first_ts + 3600 GROUP BY 1, 2
+),
+ef AS (
+  SELECT user_id,
+         ROUND(log2(CAST(SUM(c) AS DOUBLE))
+               - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / SUM(c), 6)
+           AS fh_gap_entropy
+  FROM gfc GROUP BY 1
+),
+top8 AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS cnt FROM e GROUP BY 1
+    ORDER BY cnt DESC, user_id LIMIT 8
+  ) t
+),
+hb AS (SELECT DISTINCT user_id, tsl // 3600 AS hb FROM e),
+th AS (SELECT hb.user_id, hb.hb FROM hb JOIN top8 USING (user_id)),
+co AS (
+  SELECT a.user_id, ROUND(CAST(COUNT(*) AS DOUBLE) / 7, 6) AS co_density
+  FROM th a JOIN th b ON a.hb = b.hb AND a.user_id <> b.user_id
+  GROUP BY 1
+)
+SELECT pu.user_id, n, n_first_hour, gap_entropy, fh_gap_entropy, co_density
+FROM pu
+LEFT JOIN ea USING (user_id)
+LEFT JOIN ef USING (user_id)
+LEFT JOIN co USING (user_id)
+ORDER BY pu.user_id
+"""
+
+
 ANALYTICS_QUERIES.update(
     {
         "first_wins_dim": (q_first_wins_dim, SQL_FIRST_WINS),
@@ -760,5 +895,6 @@ ANALYTICS_QUERIES.update(
         "collect_names": (q_collect_names, SQL_COLLECT_NAMES),
         "render_rows": (q_render_rows, SQL_RENDER_ROWS),
         "json_props": (q_json_props, SQL_JSON_PROPS),
+        "url_features": (q_url_features, SQL_URL_FEATURES),
     }
 )
