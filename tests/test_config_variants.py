@@ -16,6 +16,10 @@ VARIANTS = {
     "crawl_once": dataclasses.replace(TEST_CFG, crawl_once=True, max_rounds=4),
     "no_lang_filter": dataclasses.replace(TEST_CFG, lang_filter=None, max_rounds=3),
     "no_evict": dataclasses.replace(TEST_CFG, evict_unproductive=False, max_rounds=3),
+    # F6 insert-time fan-out (FutureTasksStorage.scala:23-30): copies at all
+    # intervals, pop-once, no reinsert; enough rounds to reach the 2nd
+    # interval (1h = 1 round tick) and exercise the per-round url dedup
+    "fanout": dataclasses.replace(TEST_CFG, fanout_revisits=True, max_rounds=5),
 }
 
 

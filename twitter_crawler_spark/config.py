@@ -49,6 +49,13 @@ class CrawlConfig:
     crawl_once: bool = False
     # evict tasks that returned 0 results on a revisit (attempt >= 1)
     evict_unproductive: bool = True
+    # F6 insert-time fan-out (storages/FutureTasksStorage.scala:23-30
+    # putRTTasks): a scheduled url is inserted at ALL revisit intervals at
+    # once (one frontier copy per interval, attempt = interval index); copies
+    # are popped once and never reinserted, and at most one copy of a url is
+    # popped per round (min attempt wins). False = the progressive
+    # single-interval reinsert schedule (RedisFutureStorage.scala:62-69).
+    fanout_revisits: bool = False
     # OPIC: initial cash (integer micro-units) for a newly scheduled url
     init_cash: int = 1_000_000
     # politeness defaults for hosts absent from the politeness table

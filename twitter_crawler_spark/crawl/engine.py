@@ -158,11 +158,11 @@ class CrawlEngine:
             .withColumn("host", _host_col(F.col("url")))
             .withColumn("depth", F.lit(0))
             .withColumn("score", F.lit(cfg.init_cash).cast("long"))
-            .withColumn("attempt", F.lit(0))
-            .withColumn("next_fetch_ts", F.lit(0).cast("long"))
             .withColumn("last_cursor", F.lit(-1).cast("long"))
             .withColumn("src_round", F.lit(-1))
         )
+        # seeds are scheduled at logical t=0 (all copies under fan-out)
+        fr = self._schedule_rows(fr, -int(cfg.intervals[0]))
         # pure DataFrame schema alignment — no driver round-trip (seeds may be
         # a 10^7-row list at the design point)
         fr = fr.select(
@@ -232,6 +232,16 @@ class CrawlEngine:
                 )
             )
         )
+        if cfg.fanout_revisits:
+            # fan-out copies of one url may be due simultaneously; pop at most
+            # one per round (min attempt wins — deterministic: attempts are
+            # unique per url by insert-time construction)
+            wu = Window.partitionBy("url").orderBy("attempt")
+            due = (
+                due.withColumn("rku", F.row_number().over(wu))
+                .where("rku = 1")
+                .drop("rku")
+            )
         order = self._order_cols()
         w1 = Window.partitionBy("host", F.pmod("url_hash", F.lit(cfg.host_salt))).orderBy(*order)
         w2 = Window.partitionBy("host").orderBy(*order)
@@ -274,6 +284,27 @@ class CrawlEngine:
                 "url", "url_hash", "host", "depth", "score", "attempt",
                 "next_fetch_ts", "last_cursor", "src_round", "seq",
             )
+        )
+
+    # ------------------------------------------------------------------ schedule
+
+    def _schedule_rows(self, base: DataFrame, t_base: int) -> DataFrame:
+        """Attach (attempt, next_fetch_ts) to newly scheduled urls. The
+        progressive schedule inserts one copy at intervals[0]
+        (RedisFutureStorage.scala:62-69); the F6 fan-out variant inserts one
+        copy per interval with attempt = interval index
+        (FutureTasksStorage.scala:23-30 putRTTasks)."""
+        cfg = self.cfg
+        if not cfg.fanout_revisits:
+            return base.withColumn("attempt", F.lit(0)).withColumn(
+                "next_fetch_ts",
+                F.lit(int(t_base) + int(cfg.intervals[0])).cast("long"),
+            )
+        iv = F.array(*[F.lit(int(x)) for x in cfg.intervals[: cfg.max_attempts]])
+        return (
+            base.select("*", F.posexplode(iv).alias("attempt", "_ivl"))
+            .withColumn("next_fetch_ts", (F.lit(int(t_base)) + F.col("_ivl")).cast("long"))
+            .drop("_ivl")
         )
 
     # ------------------------------------------------------------------ a round
@@ -486,17 +517,16 @@ class CrawlEngine:
         _t = _tlog("seen_tiers", _t)
         n_dupes = n_candidates - n_blocked - n_new
 
-        new_rows = new_urls.select(
+        new_base = new_urls.select(
             F.col("dst").alias("url"),
             "url_hash",
             _host_col(F.col("dst")).alias("host"),
             (F.col("parent_depth") + 1).alias("depth"),
             F.lit(cfg.init_cash).cast("long").alias("score"),
-            F.lit(0).alias("attempt"),
-            F.lit(t_r + cfg.intervals[0]).cast("long").alias("next_fetch_ts"),
             F.lit(-1).cast("long").alias("last_cursor"),
             F.lit(r).alias("src_round"),
         )
+        new_rows = self._schedule_rows(new_base, t_r)
 
         # ---- reinsert / evict / retire ------------------------------------------
         popped_res = (
@@ -515,7 +545,10 @@ class CrawlEngine:
         )
         intervals_arr = F.array(*[F.lit(int(x)) for x in cfg.intervals])
         reinserted = (
-            popped_res.where(~evict_cond & ~retire_cond & F.lit(not cfg.crawl_once))
+            popped_res.where(
+                ~evict_cond & ~retire_cond
+                & F.lit(not cfg.crawl_once and not cfg.fanout_revisits)
+            )
             .select(
                 "url", "url_hash", "host", "depth",
                 F.when(F.col("n_results") > 0, F.lit(0))
@@ -529,7 +562,12 @@ class CrawlEngine:
         )
 
         # ---- next frontier + gains ------------------------------------------------
-        pending = frontier.join(popped.select("url"), "url", "left_anti")
+        # anti-join on (url, attempt): under fan-out, popping one copy must
+        # not remove the url's other scheduled copies (url alone is the key
+        # only in the progressive schedule, where it is equivalent)
+        pending = frontier.join(
+            popped.select("url", "attempt"), ["url", "attempt"], "left_anti"
+        )
         f_next = (
             pending.unionByName(reinserted).unionByName(new_rows)
             .join(gains.withColumnRenamed("dst", "url"), "url", "left")
@@ -550,7 +588,7 @@ class CrawlEngine:
             .drop("_f")
         )
         hosts_new = (
-            new_rows.select("host").distinct()
+            new_base.select("host").distinct()
             .join(hosts.select("host"), "host", "left_anti")
             .withColumn("budget_per_round", F.lit(cfg.default_budget))
             .withColumn("crawl_delay_rounds", F.lit(cfg.default_crawl_delay))
@@ -576,7 +614,7 @@ class CrawlEngine:
             if n_new:
                 upd = make_seen_update_fn(prev_dir, new_dir, cfg)
                 (
-                    new_rows.select(
+                    new_base.select(
                         "url_hash",
                         F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
                     )
@@ -602,7 +640,7 @@ class CrawlEngine:
                 pool.submit(st.write_round, hosts_next, "hosts", r),
                 pool.submit(
                     st.write_round,
-                    new_rows.select("url_hash", "url", F.lit(r).alias("first_round")),
+                    new_base.select("url_hash", "url", F.lit(r).alias("first_round")),
                     "url_seen", r,
                 ),
                 pool.submit(st.write_round, edges_new, "edges", r),

@@ -134,8 +134,27 @@ class FrontierOracle:
         cfg = self.cfg
         max_rounds = max_rounds or cfg.max_rounds
         res = OracleResult()
-        frontier: dict[str, Task] = {}
+        # keyed by (url, attempt): unique in the progressive schedule (one
+        # row per url) AND under F6 fan-out (insert-time copies carry
+        # distinct attempt = interval index, FutureTasksStorage.scala:23-30)
+        frontier: dict[tuple[str, int], Task] = {}
         last_fetch_round: dict[str, int] = {}
+
+        def schedule(url: str, depth: int, t_base: int, src_round: int) -> None:
+            """Insert a newly seen url: one copy at intervals[0] in the
+            progressive schedule, one copy per interval under fan-out."""
+            attempts = range(cfg.max_attempts) if cfg.fanout_revisits else (0,)
+            for j in attempts:
+                frontier[(url, j)] = Task(
+                    url=url,
+                    host=host_of_scalar(url),
+                    depth=depth,
+                    score=cfg.init_cash,
+                    attempt=j,
+                    next_fetch_ts=t_base + cfg.intervals[j],
+                    last_cursor=-1,
+                    src_round=src_round,
+                )
 
         for url in self.seeds:
             if not self.allowed(url):
@@ -143,16 +162,8 @@ class FrontierOracle:
             if url in res.url_seen:
                 continue
             res.url_seen.add(url)
-            frontier[url] = Task(
-                url=url,
-                host=host_of_scalar(url),
-                depth=0,
-                score=cfg.init_cash,
-                attempt=0,
-                next_fetch_ts=0,
-                last_cursor=-1,
-                src_round=-1,
-            )
+            # seeds land at logical t = 0 (copies at intervals[j] - intervals[0])
+            schedule(url, depth=0, t_base=-cfg.intervals[0], src_round=-1)
 
         for r in range(max_rounds):
             if not frontier:
@@ -168,6 +179,14 @@ class FrontierOracle:
                     or r >= last_fetch_round[t.host] + self.host_policy(t.host)[1]
                 )
             ]
+            if cfg.fanout_revisits:
+                # at most one copy of a url pops per round: min attempt wins
+                best: dict[str, Task] = {}
+                for t in due:
+                    cur = best.get(t.url)
+                    if cur is None or t.attempt < cur.attempt:
+                        best[t.url] = t
+                due = list(best.values())
             by_host: dict[str, list[Task]] = {}
             for t in due:
                 by_host.setdefault(t.host, []).append(t)
@@ -246,12 +265,16 @@ class FrontierOracle:
 
                 # -- reinsert / evict / retire (batch: applied to dict now; all
                 # pops observed start-of-round state already captured above) ---
-                del frontier[t.url]
+                del frontier[(t.url, t.attempt)]
                 if cfg.crawl_once:
                     continue
                 if n_results == 0 and t.attempt >= 1 and cfg.evict_unproductive:
                     res.evictions.append(t.url)
                     m["evicted"] += 1
+                    continue
+                if cfg.fanout_revisits:
+                    # fan-out copies are popped once and never reinserted
+                    # (putRTTasks semantics: schedule happened at insert time)
                     continue
                 if t.attempt + 1 >= cfg.max_attempts:
                     res.retired.append(t.url)
@@ -259,7 +282,7 @@ class FrontierOracle:
                 t.attempt += 1
                 t.next_fetch_ts = t_r + cfg.intervals[t.attempt]
                 t.last_cursor = new_cursor
-                frontier[t.url] = t
+                frontier[(t.url, t.attempt)] = t
 
             # -- schedule new urls (batch dedup vs seen) -------------------------
             for dst in sorted(candidate_parents):
@@ -271,22 +294,16 @@ class FrontierOracle:
                     continue
                 res.url_seen.add(dst)
                 parent_depth = min(p.depth for p in candidate_parents[dst])
-                frontier[dst] = Task(
-                    url=dst,
-                    host=host_of_scalar(dst),
-                    depth=parent_depth + 1,
-                    score=cfg.init_cash,
-                    attempt=0,
-                    next_fetch_ts=t_r + cfg.intervals[0],
-                    last_cursor=-1,
-                    src_round=r,
-                )
+                schedule(dst, depth=parent_depth + 1, t_base=t_r, src_round=r)
                 m["new_urls"] += 1
 
-            # -- apply OPIC gains to every pending frontier row -------------------
-            for dst, g in gains.items():
-                if dst in frontier:
-                    frontier[dst].score += g
+            # -- apply OPIC gains to every pending frontier row (all copies
+            # of a url under fan-out — mirrors the engine's join by url) ----
+            if gains:
+                for task in frontier.values():
+                    g = gains.get(task.url)
+                    if g is not None:
+                        task.score += g
 
             res.metrics.append(m)
             res.rounds_run = r + 1
