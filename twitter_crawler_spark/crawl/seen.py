@@ -95,24 +95,40 @@ class SeenShard:
         return fp, i1, i2
 
     def cuckoo_add(self, hashes: np.ndarray, max_kicks: int = 200) -> None:
+        """Insert a batch. The common no-kick path is fully vectorized (one
+        numpy scatter per (bucket-choice, slot)); only the colliding residue
+        — rare at sane load factors — walks the per-item kick loop. Exact
+        duplicate hashes collapse up front; two DISTINCT urls colliding on
+        (bucket, fingerprint) within one batch may both occupy a slot where
+        the per-item path would have deduped — harmless (no false negatives,
+        marginal occupancy)."""
+        if self.overflowed or len(hashes) == 0:
+            return
+        hashes = np.unique(hashes)
         fps, i1s, i2s = self._fp_idx(hashes)
-        for fp, i1, i2 in zip(fps, i1s, i2s):
+        # vectorized membership vs the pre-batch table
+        present = (self.cuckoo[i1s] == fps[:, None]).any(axis=1) | (
+            self.cuckoo[i2s] == fps[:, None]
+        ).any(axis=1)
+        keep = ~present
+        fps, i1s, i2s = fps[keep], i1s[keep], i2s[keep]
+        pending = np.ones(len(fps), bool)
+        for idxs in (i1s, i2s):
+            for s in range(self.cs):
+                cand = np.nonzero(pending & (self.cuckoo[idxs, s] == 0))[0]
+                if not len(cand):
+                    continue
+                # one writer per target bucket wins this slot; losers retry
+                # the next slot against the updated table
+                _, first = np.unique(idxs[cand], return_index=True)
+                win = cand[first]
+                self.cuckoo[idxs[win], s] = fps[win]
+                pending[win] = False
+        # residue: both buckets full → per-item kick walk
+        for j in np.nonzero(pending)[0]:
             if self.overflowed:
                 return
-            placed = False
-            for b in (i1, i2):
-                row = self.cuckoo[b]
-                if fp in row:  # already present
-                    placed = True
-                    break
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    row[empty[0]] = fp
-                    placed = True
-                    break
-            if placed:
-                continue
-            b, f = int(i1), int(fp)
+            b, f = int(i1s[j]), int(fps[j])
             for kick in range(max_kicks):
                 slot = kick % self.cs
                 f, self.cuckoo[b, slot] = int(self.cuckoo[b, slot]), f

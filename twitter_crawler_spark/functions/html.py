@@ -27,8 +27,9 @@ _TAG_RE = r"<[^>]*>"
 
 
 def decode_html(html: pd.Series) -> pd.Series:
-    """binary → str (utf-8, surrogates never occur in fixtures)."""
-    return html.map(lambda b: b.decode("utf-8") if b is not None else None)
+    """binary → str (utf-8, surrogates never occur in fixtures) — pandas
+    ``bytes`` accessor decode (C loop), not a per-row Python lambda."""
+    return html.str.decode("utf-8")
 
 
 def extract_links(html_str: pd.Series) -> pd.DataFrame:
