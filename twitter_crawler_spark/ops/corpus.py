@@ -424,6 +424,32 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
+def sql_token_edges(d: str) -> str:
+    """P5 hashtag-entity explode analog (threads/TwitterStreamListener.scala:
+    54-64 performHashTags → GraphStorage 'save_hash edges): per document,
+    explode the distinct entity-like tokens (length ≥ 6) into edge rows and
+    aggregate the (source, token) edge multiplicity — the status→hashtag
+    fan-out re-expressed as a generate→groupBy dataflow."""
+    toks = E.tokens("text", d)
+    ent = (
+        f"array_distinct(filter(toks, x -> length(x) >= 6))"
+        if d == "spark"
+        else "list_distinct(list_filter(toks, x -> length(x) >= 6))"
+    )
+    if d == "spark":
+        src = f"t LATERAL VIEW explode({ent}) AS token"
+    else:
+        src = f"t, UNNEST({ent}) AS u(token)"
+    return f"""
+WITH t AS (SELECT doc_id, source, {toks} AS toks FROM documents)
+SELECT source, token, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM {src}
+GROUP BY source, token
+ORDER BY n_docs DESC, source, token
+LIMIT 100
+"""
+
+
 def sql_multimodal_meta(d: str) -> str:
     """Opaque binary payload + typed metadata: byte length + content digest.
     The payload here is the utf-8 encoding of text (the testdata has no
@@ -455,5 +481,6 @@ CORPUS_SQL = {
     "quality_score": sql_quality_score,
     "token_count": sql_token_count,
     "doc_fingerprint": sql_doc_fingerprint,
+    "token_edges": sql_token_edges,
     "multimodal_meta": sql_multimodal_meta,
 }
