@@ -42,9 +42,22 @@ sys.path.insert(0, {repo!r})
 from twitter_crawler_spark.session import get_spark
 from twitter_crawler_spark.crawl.schedule_bench import run_schedule_round
 cores = int(sys.argv[1]); n = int(sys.argv[2]); reps = int(sys.argv[3])
+parts = int(sys.argv[4])
+# Faithful cluster protocol, two parts:
+# 1. ActiveProcessorCount confines GC/JIT/netty pools to the measured cores,
+#    like a real executor container — without it local[2] borrows ~23 hidden
+#    G1 GC threads from the 32-core host and deflates apparent efficiency.
+# 2. The shuffle partition count is FIXED across cluster sizes (partitions
+#    are sized to the data, executors vary — identical physical work at both
+#    N and 4N, only the parallelism differs). Tying partitions to cores gives
+#    the small config fewer/bigger partitions and a different workload.
 spark = get_spark(app_name=f"tcs-sched-{{cores}}", cores=cores,
-                  shuffle_partitions=2 * cores,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  shuffle_partitions=parts,
+                  extra_conf={{
+                      "spark.ui.showConsoleProgress": "false",
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={{cores}}",
+                  }})
 import os as _os
 _variants = (True,) if _os.environ.get("TCS_SCALE_JVM_ONLY") == "1" else (True, False)
 out = {{"cores": cores}}
@@ -104,9 +117,10 @@ def main() -> None:
     # and each config keeps its best (min-wall) observation — the only
     # estimate that survives the noise.
     best: dict[int, dict] = {}
+    parts = int(os.environ.get("TCS_SCALE_PARTS", str(2 * hi)))
     for i in range(int(reps)):
         for cores in (lo, hi):
-            r = run_child(CHILD_SCHEDULE, [str(cores), str(n_urls), "1"])
+            r = run_child(CHILD_SCHEDULE, [str(cores), str(n_urls), "1", str(parts)])
             walls = " ".join(f"{k}={r[k]['wall_s']}s" for k in ("jvm", "arrow") if k in r)
             print(f"# schedule pass {i} local[{cores}]: {walls}", file=sys.stderr)
             cur = best.get(cores)
@@ -125,6 +139,8 @@ def main() -> None:
     factor = hi / lo
     result["schedule"] = {
         "n_urls": n_urls,
+        "shuffle_partitions": parts,
+        "active_processor_count_pinned": True,
         f"local{lo}": s_lo,
         f"local{hi}": s_hi,
         "core_factor": factor,
