@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -169,19 +168,21 @@ class CrawlEngine:
             *[F.col(f.name).cast(f.dataType) for f in schemas.FRONTIER.fields]
         ).cache()
         hosts = self.politeness.withColumn("last_fetch_round", F.lit(None).cast("int"))
+        # url_seen is laid out bucketed by url_hash % seen_partitions (like
+        # pages) so the exact dedup tier partition-prunes to candidate buckets
+        # instead of scanning the whole seen table every round — the SPJ
+        # layout SURVEY.md §4 custom item 1 specifies
         seen = fr.select(
-            "url_hash", "url", F.lit(-1).alias("first_round")
+            "url_hash", "url", F.lit(-1).alias("first_round"),
+            F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
         )
         self.store.write_round(fr, "frontier", -1)
         self.store.write_round(hosts, "hosts", -1)
-        self.store.write_round(seen, "url_seen", -1)
+        self.store.write_round(seen, "url_seen", -1, partition_by=("bucket",))
         if self.use_filters:
-            bloom_dir = self.store.bloom_dir(-1)
-            os.makedirs(bloom_dir, exist_ok=True)
-            upd = make_seen_update_fn(None, bloom_dir, cfg)
+            upd = make_seen_update_fn([], self.store.bloom_dir(-1), cfg)
             (
-                seen.withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
-                .groupBy("bucket")
+                seen.groupBy("bucket")
                 .applyInPandas(upd, "bucket int, added long, overflowed boolean")
                 .collect()
             )
@@ -305,6 +306,27 @@ class CrawlEngine:
             base.select("*", F.posexplode(iv).alias("attempt", "_ivl"))
             .withColumn("next_fetch_ts", (F.lit(int(t_base)) + F.col("_ivl")).cast("long"))
             .drop("_ivl")
+        )
+
+    # ------------------------------------------------------------------ exact tier
+
+    def _exact_new(
+        self, need_exact: DataFrame, prev: int, exact_buckets: list[int]
+    ) -> DataFrame:
+        """Final dedup arbiter (D1-D4 exact tier): anti-join the doubly-
+        positive candidate slice against ``url_seen``, PRUNED to the buckets
+        that slice actually occupies. ``url_seen`` is written partitioned by
+        ``bucket = url_hash % seen_partitions``, so the filter reaches the
+        scan as a PartitionFilter (plan-audited) — at the 10^10-URL design
+        point the bloom/cuckoo tiers leave a few thousand candidates and this
+        scan touches only their buckets' files, never the full seen table."""
+        seen_all = self.store.read_log(self.spark, "url_seen", prev)
+        if exact_buckets:
+            seen_scan = seen_all.where(F.col("bucket").isin(exact_buckets))
+        else:
+            seen_scan = seen_all.where(F.lit(False))
+        return need_exact.join(
+            seen_scan.select(F.col("url").alias("dst")), "dst", "left_anti"
         )
 
     # ------------------------------------------------------------------ a round
@@ -475,10 +497,9 @@ class CrawlEngine:
             .withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
         )
 
-        seen_all = self.store.read_log(s, "url_seen", prev)
-        bloom_prev = self.store.bloom_dir(prev) if self.use_filters else None
+        bloom_rounds = self.store.bloom_round_dirs(prev) if self.use_filters else []
         if self.use_filters:
-            check = make_seen_check_fn(bloom_prev)
+            check = make_seen_check_fn(bloom_rounds)
             flagged = cand.groupBy("bucket").applyInPandas(
                 check,
                 "dst string, parent_depth int, allowed boolean,"
@@ -486,8 +507,10 @@ class CrawlEngine:
             ).localCheckpoint()
         else:
             flagged = cand.withColumn("seen_flag", F.lit(2)).localCheckpoint()
-        # one job: candidate/robots/bloom/cuckoo counters off the checkpoint
-        stats = flagged.groupBy("allowed", "seen_flag").count().collect()
+        # one job: candidate/robots/bloom/cuckoo counters off the checkpoint,
+        # per bucket — the bucket list of the flag-2 slice drives partition
+        # pruning of the exact-tier seen scan below
+        stats = flagged.groupBy("allowed", "seen_flag", "bucket").count().collect()
         n_candidates = sum(int(row["count"]) for row in stats)
         n_blocked = sum(int(row["count"]) for row in stats if not row["allowed"])
         n_bloom_neg = sum(
@@ -498,12 +521,13 @@ class CrawlEngine:
             int(row["count"]) for row in stats
             if row["allowed"] and row["seen_flag"] == 1 and self.use_filters
         )
+        exact_buckets = sorted(
+            {int(row["bucket"]) for row in stats if row["allowed"] and row["seen_flag"] == 2}
+        )
         ok = flagged.where("allowed").drop("allowed")
         fast_new = ok.where("seen_flag < 2").drop("seen_flag")
         need_exact = ok.where("seen_flag = 2").drop("seen_flag")
-        exact_new = need_exact.join(
-            seen_all.select(F.col("url").alias("dst")), "dst", "left_anti"
-        )
+        exact_new = self._exact_new(need_exact, prev, exact_buckets)
         new_urls = fast_new.unionByName(exact_new).localCheckpoint()
         # one job: total + per-seen-partition new-url counts (metrics reuse)
         part = F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("partition_id")
@@ -604,15 +628,11 @@ class CrawlEngine:
         st = self.store
 
         def _bloom_task():
-            new_dir = st.bloom_dir(r)
-            os.makedirs(new_dir, exist_ok=True)
-            prev_dir = st.bloom_dir(prev)
-            if os.path.isdir(prev_dir):
-                for fn in os.listdir(prev_dir):
-                    if fn.endswith(".npz"):
-                        shutil.copy(os.path.join(prev_dir, fn), os.path.join(new_dir, fn))
+            # per-bucket shard versioning: only buckets with new urls get a
+            # shard file this round; readers resolve newest-shard-≤-committed
+            # per bucket (no O(total sidecar bytes) driver copy storm)
             if n_new:
-                upd = make_seen_update_fn(prev_dir, new_dir, cfg)
+                upd = make_seen_update_fn(bloom_rounds, st.bloom_dir(r), cfg)
                 (
                     new_base.select(
                         "url_hash",
@@ -640,8 +660,11 @@ class CrawlEngine:
                 pool.submit(st.write_round, hosts_next, "hosts", r),
                 pool.submit(
                     st.write_round,
-                    new_base.select("url_hash", "url", F.lit(r).alias("first_round")),
-                    "url_seen", r,
+                    new_base.select(
+                        "url_hash", "url", F.lit(r).alias("first_round"),
+                        F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
+                    ),
+                    "url_seen", r, ("bucket",),
                 ),
                 pool.submit(st.write_round, edges_new, "edges", r),
                 pool.submit(st.write_round, docs_new, "docs", r),
@@ -672,7 +695,7 @@ class CrawlEngine:
             {
                 "round": r,
                 "inputs": [st.round_dir("frontier", prev), self.pages_path],
-                "bloom": st.bloom_dir(prev) if self.use_filters else None,
+                "bloom": bloom_rounds if self.use_filters else None,
             }
         )
         # pop_stats / new_stats were collected above (fused jobs) — pure

@@ -18,9 +18,13 @@ three-tier membership test sharded by ``murmur3_64(url) % P``:
 
 Shards are loaded *per bucket inside executor tasks* (``applyInPandas`` over
 a bucket-grouped DataFrame), so at 10^10 urls each task touches only its own
-~MBs-sized sidecar, never a global structure. Sidecars are copy-forward
-versioned per round (``bloom/r=k/bucket=N.npz``) so resume always reads
-filters consistent with the committed snapshot (SURVEY.md §7 hard part 3).
+~MBs-sized sidecar, never a global structure. Sidecars are versioned per
+bucket: round k writes ``bloom/r=k/bucket=N.npz`` ONLY for buckets k touched,
+and a reader resolves each bucket to its newest shard ≤ the committed round
+(``SnapshotStore.bloom_round_dirs``) — no copy-forward of untouched shards
+(at 10^5 shards a per-round driver copy storm), and resume still always reads
+filters consistent with the committed snapshot (SURVEY.md §7 hard part 3):
+uncommitted round dirs are removed by ``clean_uncommitted`` before any read.
 """
 
 from __future__ import annotations
@@ -183,17 +187,29 @@ def shard_path(bloom_dir: str, bucket: int) -> str:
     return os.path.join(bloom_dir, f"bucket={bucket}.npz")
 
 
-def make_seen_check_fn(prev_bloom_dir: str | None):
+def resolve_shard(round_dirs_desc: list[str], bucket: int) -> str | None:
+    """Newest shard file for ``bucket`` among the given round dirs (which the
+    caller orders newest-first, already filtered to committed rounds). O(#
+    rounds) existence probes per task, zero shard copies per round."""
+    for d in round_dirs_desc:
+        p = shard_path(d, bucket)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def make_seen_check_fn(round_dirs_desc: list[str]):
     """applyInPandas fn over candidates grouped by ``bucket``: classify each
     candidate as 0 = bloom-negative (definitely new), 1 = cuckoo-negative
-    (new), 2 = needs the exact anti-join."""
+    (new), 2 = needs the exact anti-join. A bucket with no shard yet has an
+    empty filter → everything is definitely new."""
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:
         flags = np.full(len(pdf), 2, np.int32)
-        if prev_bloom_dir is not None and len(pdf):
+        if len(pdf):
             bucket = int(pdf["bucket"].iloc[0])
-            p = shard_path(prev_bloom_dir, bucket)
-            if os.path.exists(p):
+            p = resolve_shard(round_dirs_desc, bucket)
+            if p is not None:
                 shard = SeenShard.load(p)
                 h = pdf["url_hash"].to_numpy(np.int64)
                 pos = shard.bloom_contains(h)
@@ -202,7 +218,7 @@ def make_seen_check_fn(prev_bloom_dir: str | None):
                     ver = shard.cuckoo_contains(h[pos])
                     idx = np.nonzero(pos)[0]
                     flags[idx[~ver]] = 1
-            else:  # empty shard so far → everything new
+            else:  # no shard written for this bucket yet → everything new
                 flags[:] = 0
         pdf = pdf.copy()
         pdf["seen_flag"] = flags
@@ -211,15 +227,16 @@ def make_seen_check_fn(prev_bloom_dir: str | None):
     return check
 
 
-def make_seen_update_fn(prev_bloom_dir: str | None, new_bloom_dir: str, cfg):
-    """applyInPandas fn over NEW urls grouped by ``bucket``: load the bucket's
-    previous sidecar, add the new hashes, write the versioned sidecar for this
-    round. Runs inside executor tasks — each task touches one shard file."""
+def make_seen_update_fn(round_dirs_desc: list[str], new_bloom_dir: str, cfg):
+    """applyInPandas fn over NEW urls grouped by ``bucket``: resolve the
+    bucket's newest committed sidecar, add the new hashes, write this round's
+    shard for JUST this bucket. Runs inside executor tasks — each task touches
+    one shard file; untouched buckets get no new file this round."""
 
     def update(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
-        prev = shard_path(prev_bloom_dir, bucket) if prev_bloom_dir else None
-        if prev and os.path.exists(prev):
+        prev = resolve_shard(round_dirs_desc, bucket)
+        if prev is not None:
             shard = SeenShard.load(prev)
         else:
             shard = SeenShard(

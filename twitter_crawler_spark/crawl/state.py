@@ -72,14 +72,43 @@ class SnapshotStore:
     def round_dir(self, table: str, round_: int) -> str:
         return os.path.join(self.root, table, f"r={round_}")
 
+    @property
+    def bloom_root(self) -> str:
+        return os.path.join(self.root, "bloom")
+
     def bloom_dir(self, round_: int) -> str:
-        return os.path.join(self.root, "bloom", f"r={round_}")
+        return os.path.join(self.bloom_root, f"r={round_}")
+
+    def bloom_round_dirs(self, upto_round: int) -> list[str]:
+        """Bloom round dirs with r <= upto_round, NEWEST FIRST — the per-bucket
+        shard resolution order. Each round dir holds sidecars only for the
+        buckets that round actually touched; a bucket's current filter is its
+        newest shard ≤ the committed round (no copy-forward of untouched
+        shards). Driver cost is one listdir of the root (O(#rounds)); the
+        per-bucket file probe happens inside executor tasks."""
+        root = self.bloom_root
+        if not os.path.isdir(root):
+            return []
+        ks = sorted(
+            (int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("r=")),
+            reverse=True,
+        )
+        return [os.path.join(root, f"r={k}") for k in ks if k <= upto_round]
 
     # --- write -----------------------------------------------------------------
 
-    def write_round(self, df: DataFrame, table: str, round_: int) -> str:
+    def write_round(
+        self,
+        df: DataFrame,
+        table: str,
+        round_: int,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> str:
         path = self.round_dir(table, round_)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return path
 
     # --- read --------------------------------------------------------------------
