@@ -27,7 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from twitter_crawler_spark.ops.analytics import ANALYTICS_QUERIES
-from twitter_crawler_spark.ops.corpus import CORPUS_SQL
+from twitter_crawler_spark.ops.corpus import CORPUS_SQL, EXTRA_ORACLE_SQL
 from twitter_crawler_spark.ops.multimodal import q_multimodal_features
 
 _CORPUS_TABLES = ("documents", "embeddings")
@@ -69,5 +69,8 @@ def oracle_sql() -> dict[str, str]:
             out[name] = sql
     for name, builder in CORPUS_SQL.items():
         out[name] = builder("duckdb")
-    # multimodal_features: non-SQL (mapInPandas decode stub) → rows-only
+    # multimodal_features runs as mapInPandas on the Spark side, but the fake
+    # decode is deterministic byte arithmetic → SQL-expressible oracle
+    for name, builder in EXTRA_ORACLE_SQL.items():
+        out[name] = builder("duckdb")
     return out

@@ -25,9 +25,11 @@ def test_registry_complete():
     assert len(qs) >= 30
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # non-SQL tier is the known, documented set
+    # non-SQL tier is the known, documented set (multimodal_features gained a
+    # byte-arithmetic SQL oracle in round 3; info_transfer stays rows-only —
+    # the conditional-entropy sweep is inherently non-SQL)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"info_transfer", "multimodal_features"}
+    assert rows_only == {"info_transfer"}
 
 
 def test_entry_runs(spark):
@@ -41,10 +43,24 @@ def test_multimodal_features_match_reference(spark):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     want = pd.DataFrame(
         [features_reference(r.doc_id, r.text) for r in docs.itertuples()],
-        columns=["doc_id", "n_bytes", "width", "height", "mean_intensity", "frame_count"],
+        columns=["doc_id", "n_bytes", "width", "height", "intensity_e6", "frame_count"],
     ).sort_values("doc_id").reset_index(drop=True)
     got = got.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_multimodal_sql_twin_matches_mapinpandas(spark):
+    """3-way pin: the mapInPandas implementation, the Spark-SQL dialect of the
+    byte-arithmetic twin, and (via the driver gate) the DuckDB dialect must
+    all agree — here we check the first two."""
+    from twitter_crawler_spark.ops.corpus import sql_multimodal_features
+
+    got = entrymod.queries()["multimodal_features"](spark, SF).toPandas()
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView("documents")
+    twin = spark.sql(sql_multimodal_features("spark")).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    twin = twin.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, twin, check_dtype=False)
 
 
 def test_info_transfer_matches_pandas(spark):

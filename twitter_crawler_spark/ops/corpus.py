@@ -161,18 +161,21 @@ ORDER BY n_shared_bands DESC, doc_a, doc_b
 # chunk_val) and the exact hamming filter never sees an all-pairs product.
 SIMHASH_CHUNKS = 4
 SIMHASH_MAX_HAMMING = 3
-_CHUNK_W = E.SIMHASH_BITS // SIMHASH_CHUNKS  # bits per chunk
+_CHUNK_W = E.SIMHASH_BITS // SIMHASH_CHUNKS  # 15 bits per chunk
 
 
 def sql_dedup_simhash(d: str) -> str:
     """SimHash near-pair report (hamming ≤ {SIMHASH_MAX_HAMMING} within a
     lang) via pigeonhole chunk banding — result-identical to the all-pairs
-    formulation (the banding is exact, not approximate) but the join is an
-    equi-join on (lang, chunk, chunk_val).
+    formulation (the banding is exact, not approximate: 3 flipped bits cannot
+    touch all 4 chunks) but the join is an equi-join on (lang, chunk,
+    chunk_val).
 
-    Scale note: with the 16-bit integer-exact fingerprint the 4-bit chunk
-    key space is small (lang × 4 × 16); at 100 TB you widen the fingerprint
-    (64-bit token hashes → 16-bit chunks) and the geometry is unchanged."""
+    Scale geometry (round 3): the fingerprint is 60 bits (two independent
+    sub-2^30 polynomial hashes per token, int64-exact in both engines), so
+    each of the 4 chunks is 15 bits — a 2^15-value key space per (lang,
+    chunk), which keeps candidate blocks tiny at 100 TB (the round-1/2
+    16-bit/4-bit-chunk constants were toy-scale: key space lang × 4 × 16)."""
     chunk_vals = ",\n         ".join(
         f"({_intdiv('sh', str(1 << (_CHUNK_W * c)), d)} % {1 << _CHUNK_W}) AS c{c}"
         for c in range(SIMHASH_CHUNKS)
@@ -192,9 +195,12 @@ def sql_dedup_simhash(d: str) -> str:
             for c in range(SIMHASH_CHUNKS)
         )
     return f"""
-WITH s AS (
-  SELECT doc_id, lang, {E.simhash(E.token_hashes("text", d), d)} AS sh
-  FROM documents
+WITH th AS (
+  SELECT doc_id, lang, {E.token_hashes_wide("text", d)} AS h FROM documents
+),
+s AS (
+  SELECT doc_id, lang, {E.simhash("h", d)} AS sh
+  FROM th
 ),
 sc AS (
   SELECT doc_id, lang, sh,
@@ -217,10 +223,13 @@ ORDER BY hamming, doc_a, doc_b
 
 
 def sql_simhash_signatures(d: str) -> str:
-    """The raw SimHash signature table (doc_id → integer fingerprint)."""
+    """The raw SimHash signature table (doc_id → 60-bit integer fingerprint)."""
     return f"""
-SELECT doc_id, {E.simhash(E.token_hashes("text", d), d)} AS simhash16
-FROM documents
+WITH th AS (
+  SELECT doc_id, {E.token_hashes_wide("text", d)} AS h FROM documents
+)
+SELECT doc_id, {E.simhash("h", d)} AS simhash60
+FROM th
 ORDER BY doc_id
 """
 
@@ -450,6 +459,53 @@ LIMIT 100
 """
 
 
+def sql_multimodal_features(d: str) -> str:
+    """Dual-dialect twin of ops.multimodal.q_multimodal_features: the fake
+    decoder is deterministic byte arithmetic (h = 8 + b0 % 8, w = 8 + b1 % 8,
+    pixels = payload bytes tiled to h*w), so its features are exactly
+    SQL-expressible — pix_sum uses the closed form full_reps * sum(codes) +
+    sum(first (h*w mod n) codes), and the mean is the floored integer
+    intensity_e6 = pix_sum * 10^6 div (h*w), bit-identical to the Python path.
+    Assumes 1-byte characters (charcode == byte value — the ASCII testdata
+    satisfies this; the mapInPandas implementation itself is byte-general).
+    The Spark dialect exists only as a pytest 3-way pin; the engine-side
+    implementation stays the Arrow mapInPandas pipeline."""
+    codes = E.char_codes("text", d)
+    code_sum = E.arr_sum_bigint("codes", d)
+    b0 = E.arr_at("codes", 1, d)
+    b1 = E.arr_at("codes", 2, d)
+    hw = "(height * width)"
+    rem_sum = E.arr_sum_bigint(E.first_k("codes", f"({hw} % n)", d), d)
+    full_reps = _intdiv(hw, "n", d)
+    pix = _intdiv("(pix_sum * 1000000)", hw, d)
+    return f"""
+WITH c AS (
+  SELECT doc_id, length(text) AS n, {codes} AS codes FROM documents
+),
+dims AS (
+  SELECT doc_id, n, codes,
+         (CASE WHEN n >= 1 THEN 8 + ({b0} % 8) ELSE 8 END) AS height,
+         (CASE WHEN n >= 2 THEN 8 + ({b1} % 8) ELSE 8 END) AS width,
+         {code_sum} AS code_sum
+  FROM c
+),
+px AS (
+  SELECT doc_id, n, height, width,
+         (CASE WHEN n = 0 THEN 0
+               ELSE {full_reps} * code_sum + {rem_sum} END) AS pix_sum
+  FROM dims
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE {pix} END AS BIGINT) AS intensity_e6,
+       CAST(1 AS INT) AS frame_count
+FROM px
+ORDER BY doc_id
+"""
+
+
 def sql_multimodal_meta(d: str) -> str:
     """Opaque binary payload + typed metadata: byte length + content digest.
     The payload here is the utf-8 encoding of text (the testdata has no
@@ -483,4 +539,10 @@ CORPUS_SQL = {
     "doc_fingerprint": sql_doc_fingerprint,
     "token_edges": sql_token_edges,
     "multimodal_meta": sql_multimodal_meta,
+}
+
+# oracles for queries whose Spark side is NOT spark.sql of the same template
+# (multimodal_features runs as mapInPandas; this SQL twin is its DuckDB gate)
+EXTRA_ORACLE_SQL = {
+    "multimodal_features": sql_multimodal_features,
 }

@@ -19,12 +19,19 @@ from __future__ import annotations
 HASH_P = 1_000_000_007
 HASH_INIT = 7
 HASH_MULT = 31
+# second, independent hash family (for the wide 60-bit token hash): both
+# moduli are < 2^30 so h1 * 2^30 + h2 < 2^60 stays int64-exact in both engines
+HASH_P2 = 998_244_353
+HASH_INIT2 = 13
+HASH_MULT2 = 131
 
 # MinHash: k permutations h_j(x) = (A_j * x + B_j) mod P
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
-SIMHASH_BITS = 16
+# SimHash fingerprint width: 60 bits (= 4 pigeonhole chunks × 15 bits — a
+# realistic 2^15-value chunk key space; was a 16-bit toy in rounds 1-2)
+SIMHASH_BITS = 60
 
 
 def _a(j: int) -> int:
@@ -77,6 +84,18 @@ def arr_sum_bigint(arr: str, d: str) -> str:
     return f"coalesce(list_reduce(list_prepend(cast(0 as bigint), {arr}), (acc, x) -> acc + x), 0)"
 
 
+def arr_at(arr: str, i: int, d: str) -> str:
+    """1-indexed element access."""
+    return f"element_at({arr}, {i})" if d == "spark" else f"{arr}[{i}]"
+
+
+def first_k(arr: str, k: str, d: str) -> str:
+    """First k elements of an array (k may be an expression; k=0 → empty)."""
+    if d == "spark":
+        return f"slice({arr}, 1, {k})"
+    return f"list_slice({arr}, 1, {k})"
+
+
 def seq(lo: str | int, hi: str | int, d: str) -> str:
     """Inclusive integer range as an array/list."""
     if d == "spark":
@@ -110,6 +129,28 @@ def str_hash(s: str, d: str) -> str:
 def token_hashes(col: str, d: str) -> str:
     """Distinct token hash array of a text column (order-insensitive uses only)."""
     return transform(distinct(tokens(col, d), d), f"t -> {str_hash('t', d)}", d)
+
+
+def str_hash2(s: str, d: str) -> str:
+    """Second independent polynomial hash (mult 131, init 13, mod P2)."""
+    codes = char_codes(s, d)
+    if d == "spark":
+        return (
+            f"aggregate({codes}, cast({HASH_INIT2} as bigint),"
+            f" (acc, x) -> (acc * {HASH_MULT2} + x) % {HASH_P2})"
+        )
+    return (
+        f"list_reduce(list_prepend(cast({HASH_INIT2} as bigint), {codes}),"
+        f" (acc, x) -> (acc * {HASH_MULT2} + x) % {HASH_P2})"
+    )
+
+
+def token_hashes_wide(col: str, d: str) -> str:
+    """Distinct 60-bit token hashes: h1 * 2^30 + h2 with two independent
+    sub-2^30 polynomial hashes — gives SIMHASH_BITS=60 genuinely independent
+    bits while every intermediate stays int64-exact in both engines."""
+    lam = f"t -> ({str_hash('t', d)}) * {1 << 30} + ({str_hash2('t', d)})"
+    return transform(distinct(tokens(col, d), d), lam, d)
 
 
 def minhash_j(hashes_col: str, j: int, d: str) -> str:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "doc_id long, n_bytes int, width int, height int, mean_intensity double,"
+    "doc_id long, n_bytes int, width int, height int, intensity_e6 long,"
     " frame_count int"
 )
 
@@ -50,6 +50,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return np.tile(buf, reps)[: h * w].reshape(h, w)
 
 
+def intensity_e6(img: np.ndarray) -> int:
+    """Mean pixel intensity scaled by 10^6, floored — EXACT integer
+    arithmetic, so the Spark (Python) value and the SQL oracle value are
+    bit-identical (a float mean + round() would diverge between Python's
+    banker's rounding and SQL ROUND's half-up on ties)."""
+    if img.size == 0:
+        return 0
+    return int(img.sum(dtype=np.int64)) * 1_000_000 // int(img.size)
+
+
 def _features_batch(it, fake: bool = True):
     for pdf in it:
         rows = []
@@ -62,14 +72,14 @@ def _features_batch(it, fake: bool = True):
                     len(payload),
                     img.shape[1],
                     img.shape[0],
-                    round(float(img.mean()), 6) if img.size else 0.0,
+                    intensity_e6(img),
                     1,
                 )
             )
         yield pd.DataFrame(
             rows,
             columns=[
-                "doc_id", "n_bytes", "width", "height", "mean_intensity", "frame_count",
+                "doc_id", "n_bytes", "width", "height", "intensity_e6", "frame_count",
             ],
         )
 
@@ -77,8 +87,12 @@ def _features_batch(it, fake: bool = True):
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction pipeline over ``documents`` (text
     bytes stand in for image bytes — the testdata has no binary column; the
-    plumbing is payload-agnostic). Non-SQL tier (rows-only driver check);
-    exact values are pinned by pytest against a pure-Python recomputation."""
+    plumbing is payload-agnostic). The implementation is mapInPandas (binary
+    decode can't be SQL), but because the fake decode is deterministic byte
+    arithmetic its features ARE SQL-expressible — ops.corpus.
+    sql_multimodal_features is the dual-dialect twin that gives the driver a
+    DuckDB oracle for this query (the SQL twin assumes 1-byte characters,
+    which the ASCII testdata satisfies; the Spark op itself is byte-general)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_features_batch, FEATURE_SCHEMA).orderBy("doc_id")
@@ -93,6 +107,6 @@ def features_reference(doc_id: int, text: str) -> tuple:
         len(payload),
         img.shape[1],
         img.shape[0],
-        round(float(img.mean()), 6),
+        intensity_e6(img),
         1,
     )
