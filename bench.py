@@ -10,8 +10,17 @@ Two parts:
 2. **Query bench** — headline operators from __spark_entry__ timed at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
+Measurement protocol (round 3): this sandbox's host steals CPU in
+multi-minute bursts (identical jobs vary 3-8x wall — see BENCH_SCALING.json
+protocol notes), so single-shot timing is a coin flip. The query bench
+therefore runs REPS full interleaved passes over the query list and reports
+the per-query MIN plus all raw walls; the crawl section runs CRAWL_REPS
+times and reports the best run. Interleaving means a throttle burst poisons
+one pass, not one query — the same discipline as scripts/scaling_bench.py.
+
 Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SF_DIR,
-TCS_BENCH_PAGES (fixture size, default 8000), TCS_BENCH_ROUNDS (default 6).
+TCS_BENCH_PAGES (fixture size, default 8000), TCS_BENCH_ROUNDS (default 6),
+TCS_BENCH_REPS (query passes, default 3), TCS_BENCH_CRAWL_REPS (default 2).
 """
 
 from __future__ import annotations
@@ -37,9 +46,35 @@ HEADLINE_QUERIES = [
 ]
 
 
-def bench_crawl(spark, cores: int) -> dict:
+def bench_crawl_once(spark, fx: str, rounds: int) -> tuple[float, dict]:
     from twitter_crawler_spark.config import CrawlConfig
     from twitter_crawler_spark.crawl.engine import CrawlEngine
+
+    state = f"/tmp/tcs_bench_state_{os.getpid()}"
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, fx, state, CrawlConfig(max_rounds=rounds))
+    t0 = time.time()
+    eng.run()
+    wall = time.time() - t0
+    m = (
+        eng.round_metrics()
+        .where("partition_id = -1")
+        .selectExpr(
+            "sum(fetched) f", "sum(new_urls) n", "sum(dupes) d", "sum(robots_blocked) b"
+        )
+        .collect()[0]
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    counters = {
+        "fetched": int(m.f),
+        "new_urls": int(m.n),
+        "dupes": int(m.d),
+        "robots_blocked": int(m.b),
+    }
+    return wall, counters
+
+
+def bench_crawl(spark, cores: int, reps: int) -> dict:
     from twitter_crawler_spark.fixtures.webgen import generate_web
 
     n_pages = int(os.environ.get("TCS_BENCH_PAGES", "8000"))
@@ -58,40 +93,34 @@ def bench_crawl(spark, cores: int) -> dict:
             span_rounds=rounds,
             mean_outdeg=10,
         )
-    state = f"/tmp/tcs_bench_state_{os.getpid()}"
-    shutil.rmtree(state, ignore_errors=True)
-    cfg = CrawlConfig(max_rounds=rounds)
-    eng = CrawlEngine(spark, fx, state, cfg)
-    t0 = time.time()
-    eng.run()
-    wall = time.time() - t0
-    m = (
-        eng.round_metrics()
-        .where("partition_id = -1")
-        .selectExpr(
-            "sum(fetched) f", "sum(new_urls) n", "sum(dupes) d", "sum(robots_blocked) b"
-        )
-        .collect()[0]
+    walls: list[float] = []
+    counters: dict = {}
+    for i in range(reps):
+        wall, c = bench_crawl_once(spark, fx, rounds)
+        walls.append(round(wall, 2))
+        counters = c  # deterministic engine: counters are identical per rep
+        print(f"# crawl rep {i + 1}/{reps}: {wall:.1f}s {c}", file=sys.stderr)
+    best = min(walls)
+    scheduled_deduped = (
+        counters["new_urls"] + counters["dupes"] + counters["robots_blocked"]
     )
-    shutil.rmtree(state, ignore_errors=True)
-    scheduled_deduped = int(m.n + m.d + m.b)
     return {
         "pages": n_pages,
         "rounds": rounds,
-        "wall_s": round(wall, 2),
-        "fetched": int(m.f),
-        "new_urls": int(m.n),
-        "dupes": int(m.d),
-        "robots_blocked": int(m.b),
+        "wall_s": best,
+        "raw_walls_s": walls,
+        **counters,
         "urls_scheduled_deduped": scheduled_deduped,
-        "urls_per_sec": round(scheduled_deduped / wall, 2),
-        "urls_per_sec_per_core": round(scheduled_deduped / wall / cores, 3),
+        "urls_per_sec": round(scheduled_deduped / best, 2),
+        "urls_per_sec_per_core": round(scheduled_deduped / best / cores, 3),
     }
 
 
 def main() -> None:
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("TCS_BENCH_REPS", "3"))
+    crawl_reps = int(os.environ.get("TCS_BENCH_CRAWL_REPS", "2"))
     from twitter_crawler_spark.session import get_spark
 
     spark = get_spark(
@@ -103,19 +132,24 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+    raw: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
+    rows: dict[str, int] = {}
+    for rep in range(reps):
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            raw[name].append(round(dt, 3))
+            rows[name] = n
+            print(f"# pass {rep + 1}/{reps} {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
-    crawl = bench_crawl(spark, cores)
+    timings = {name: min(walls) for name, walls in raw.items()}
+    total = sum(timings.values())
+
+    crawl = bench_crawl(spark, cores, crawl_reps)
     total += crawl["wall_s"]
     timings["crawl"] = crawl["wall_s"]
+    raw["crawl"] = crawl["raw_walls_s"]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -125,6 +159,8 @@ def main() -> None:
                 "value": round(total, 2),
                 "unit": "sec",
                 "queries": timings,
+                "raw_walls": raw,
+                "protocol": f"interleaved min-of-{reps} (crawl best-of-{crawl_reps})",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cores": cores,
                 "crawl": crawl,

@@ -1,15 +1,22 @@
 """Physical-plan audit → PLANS.md.
 
-Captures ``explain("formatted")`` for the performance-critical dataflows and
-asserts the physical properties the 100 TB design depends on:
+Captures ``explain("formatted")`` for EVERY catalog query plus the crawl
+engine's performance-critical dataflows, and asserts the physical properties
+the 100 TB design depends on:
 
-* parquet scans show PushedFilters / pruned ReadSchema (never read ``html``
-  when only ``text`` is needed, cursor predicate reaches the scan);
-* the fetch join broadcasts the popped batch (BroadcastHashJoin, no shuffle
-  of the pages side beyond the scan);
-* corpus operators contain NO Python plan nodes (BatchEvalPython/ArrowEval
-  banned — the hashing/dedup tier is pure JVM higher-order functions);
-* the politeness window runs per-(host, salt) partitions, not globally.
+* universal bans on all 38 catalog queries — no ``BatchEvalPython`` (row-at-
+  a-time Python), no ``CartesianProduct``, no unpartitioned window (a global
+  single-partition ``Window.orderBy`` is the 10^10-row scale killer) — with
+  per-query declared exceptions where a property is intentional (listed with
+  justification in ``EXCEPTIONS``);
+* per-query required properties (``WANTS``): parquet scans show
+  PushedFilters / pruned ReadSchema, small-side joins broadcast, windows
+  partitioned;
+* the corpus dedup/hash tier contains NO Python plan node of any kind
+  (``ArrowEval``/``MapInPandas`` additionally banned — pure JVM HOFs);
+* the crawl fetch join broadcasts the popped batch over the bucket-pruned
+  pages scan, the pop dataflow has no unpartitioned window, and the exact
+  dedup tier's ``url_seen`` scan partition-prunes to candidate buckets.
 
 Run: python scripts/plan_audit.py  (writes PLANS.md at repo root)
 """
@@ -27,6 +34,39 @@ from twitter_crawler_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
+# an unpartitioned windowspecdefinition starts directly with a sort-ordered
+# expression instead of a partition list
+UNPARTITIONED_WINDOW = r"windowspecdefinition\([^,)]+ (ASC|DESC)"
+UNIVERSAL_BANS = ["BatchEvalPython", "CartesianProduct", UNPARTITIONED_WINDOW]
+
+# per-query REQUIRED physical properties
+WANTS: dict[str, list[str]] = {
+    "tpch_q1": ["PushedFilters"],
+    "tpch_q3": ["BroadcastHashJoin"],
+    "host_budget_rank": ["BroadcastHashJoin", "Window"],
+    "url_features": ["Window"],
+    "anti_join_new": ["LeftAnti", "Broadcast"],
+    "ts_range_join": ["PushedFilters"],
+}
+
+# the corpus hashing/dedup tier must be pure JVM — ban every Python node
+_JVM_ONLY = ["Python", "Arrow"]
+JVM_ONLY_QUERIES = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_embedding_nn", "simhash_signatures",
+    "doc_fingerprint", "lang_id", "quality_score", "token_count",
+    "token_edges", "multimodal_meta", "ann_lsh_bucketed",
+]
+
+# universal-ban exceptions, each with its reason (rendered into PLANS.md)
+EXCEPTIONS: dict[str, dict[str, str]] = {
+    "ann_bruteforce_topk": {
+        "CartesianProduct": "by design: the exact-recall baseline scores every"
+        " (query, corpus) pair — the scale path is ann_lsh_bucketed, which is"
+        " audited with the ban",
+    },
+}
+
 
 def _fmt(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
@@ -37,33 +77,21 @@ def _fmt(df) -> str:
 def main() -> None:
     import __spark_entry__ as entrymod
     from twitter_crawler_spark.config import CrawlConfig
-    from twitter_crawler_spark.crawl.schedule_bench import run_schedule_round, synthetic_frontier  # noqa: F401
 
     spark = get_spark(cores=8, shuffle_partitions=8,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = entrymod.queries()
-    sections: list[tuple[str, str, list[str]]] = []
+    # (name, plan, wants, bans, waived: {pattern: reason})
+    sections: list[tuple[str, str, list[str], list[str], dict[str, str]]] = []
 
-    # 1. representative catalog queries with the physical property each must show
-    # `wants` = regexes that MUST appear; `bans` = regexes that must NOT
-    # (BatchEvalPython = row-at-a-time Python, banned by input_hint; the
-    # corpus operators must stay pure JVM — no Python node of any kind)
-    checks = {
-        "tpch_q1": (["PushedFilters"], ["BatchEvalPython"]),
-        "tpch_q3": (["BroadcastHashJoin"], ["BatchEvalPython"]),
-        "host_budget_rank": (["BroadcastHashJoin", "Window"], ["BatchEvalPython"]),
-        "dedup_minhash_lsh": ([], ["BatchEvalPython", "Python", "Arrow"]),
-        "dedup_simhash_pairs": ([], ["BatchEvalPython", "Python", "Arrow", "CartesianProduct"]),
-        "dedup_ngram_jaccard": ([], ["BatchEvalPython", "Python", "Arrow", "CartesianProduct"]),
-        "dedup_embedding_nn": ([], ["BatchEvalPython", "Python", "Arrow", "CartesianProduct"]),
-        "doc_fingerprint": ([], ["BatchEvalPython", "Python", "Arrow"]),
-        "url_features": (["Window"], ["BatchEvalPython"]),
-        "anti_join_new": (["LeftAnti", "Broadcast"], ["BatchEvalPython"]),
-        "ts_range_join": (["PushedFilters"], ["BatchEvalPython"]),
-    }
-    for name, (wants, bans) in checks.items():
+    # 1. every catalog query: universal bans + declared wants/extras
+    for name in sorted(qs):
         plan = _fmt(qs[name](spark, SF))
-        sections.append((name, plan, wants, bans))
+        waived = EXCEPTIONS.get(name, {})
+        bans = [b for b in UNIVERSAL_BANS if b not in waived]
+        if name in JVM_ONLY_QUERIES:
+            bans = bans + _JVM_ONLY
+        sections.append((name, plan, WANTS.get(name, []), bans, waived))
 
     # 2. the fetch-join shape from the crawl engine (bucket pruning + broadcast)
     from twitter_crawler_spark.crawl.engine import CrawlEngine
@@ -89,30 +117,50 @@ def main() -> None:
         .select("url", "ts_logical", "html")
     )
     sections.append(
-        ("crawl_fetch_join", _fmt(fetch), ["BroadcastHashJoin", "PartitionFilters"], [])
+        ("crawl_fetch_join", _fmt(fetch), ["BroadcastHashJoin", "PartitionFilters"], [], {})
     )
 
-    # 3. the pop dataflow: every window MUST be partitioned (an unpartitioned
-    # windowspecdefinition starts with a sort-ordered expression; a global
-    # single-partition window is the 10^10-frontier scale killer). Audits the
-    # REAL engine methods, with dummy offsets standing in for the per-round
+    # 3. the pop dataflow: every window MUST be partitioned. Audits the REAL
+    # engine methods, with dummy offsets standing in for the per-round
     # collected counts.
     hosts_df = eng.store.read_state(spark, "hosts", -1)
     pop_flow = eng._attach_seq(
         eng._pop_ranged(eng._pop_survivors(frontier, hosts_df, 3600, 1)),
         {0: 0},
     )
-    UNPARTITIONED_WINDOW = r"windowspecdefinition\([^,)]+ (ASC|DESC)"
     sections.append(
-        ("crawl_pop_seq", _fmt(pop_flow), ["Window"], [UNPARTITIONED_WINDOW])
+        ("crawl_pop_seq", _fmt(pop_flow), ["Window"], [UNPARTITIONED_WINDOW], {})
+    )
+
+    # 4. the exact dedup tier: the url_seen scan must partition-prune to the
+    # candidate slice's buckets (bucket is a partition column of the layout,
+    # so the IN-list must surface as a PartitionFilters entry, not a
+    # post-scan Filter). Audits the REAL engine method over the real layout.
+    need_exact = (
+        frontier.select(F.col("url").alias("dst"))
+        .withColumn("parent_depth", F.lit(0))
+        .limit(7)
+    )
+    exact_plan = _fmt(eng._exact_new(need_exact, -1, [0, 3]))
+    sections.append(
+        (
+            "crawl_seen_exact_tier",
+            exact_plan,
+            [r"PartitionFilters: \[[^\]]*bucket", "LeftAnti"],
+            [],
+            {},
+        )
     )
 
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)",
            "",
            "Each section lists the physical properties the 100 TB design requires",
-           "(`required:` line) and whether the captured plan exhibits them.", ""]
+           "(`required:` line) and whether the captured plan exhibits them.",
+           f"Universal bans on all {len(qs)} catalog queries: no BatchEvalPython,",
+           "no CartesianProduct, no unpartitioned window (waivable per query,",
+           "with the justification printed in the section).", ""]
     failures = []
-    for name, plan, wants, bans in sections:
+    for name, plan, wants, bans, waived in sections:
         status = []
         for w in wants:
             ok = re.search(w, plan) is not None
@@ -125,9 +173,12 @@ def main() -> None:
             if bad:
                 failures.append((name, f"banned:{b}"))
         out.append(f"## {name}\n\nrequired: {', '.join(status)}\n")
+        for pat, reason in waived.items():
+            out.append(f"waived `{pat}`: {reason}\n")
         out.append("```\n" + plan.strip()[:4000] + "\n```\n")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
+    print(f"audited {len(sections)} plans ({len(qs)} catalog queries + 3 engine flows)")
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)
 

@@ -1,0 +1,111 @@
+"""2→8-core scaling efficiency as a DISTRIBUTION of time-adjacent pairings.
+
+Round-2 established the measurement protocol (ActiveProcessorCount pinned to
+the measured cores, shuffle partitions fixed across configs) and that this
+host steals CPU in multi-minute bursts, so any single observation is a coin
+flip. This script collects K pairings, each = one local[2] child immediately
+followed by one local[8] child (adjacent in time, so both sides of a pairing
+see the same host weather), computes per-pairing efficiency
+
+    eff_i = (work/wall_8i) / (work/wall_2i) / 4 = wall_2i / wall_8i / 4
+
+and reports the whole distribution plus two summaries:
+
+* ``eff_of_min_walls`` — min-wall_2 / min-wall_8 / 4 (cross-pairing best,
+  the round-2 headline estimator);
+* ``clean_median`` — the median over CLEAN pairings, where a pairing is
+  clean if BOTH its walls are within CLEAN_FACTOR of that side's session
+  min (i.e. neither child was hit by a throttle burst).
+
+Larger inputs amortize the ~3.6 s constant driver overhead (round-2 Amdahl
+fit), so run at 8M and 64M urls: efficiency should rise with input size.
+
+Usage: python scripts/scaling_pairs.py [n_urls] [K] [shuffle_partitions]
+Appends a ``pairs_<n_urls>`` section to BENCH_SCALING.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from twitter_crawler_spark.session import get_spark
+from twitter_crawler_spark.crawl.schedule_bench import run_schedule_round
+cores = int(sys.argv[1]); n = int(sys.argv[2]); parts = int(sys.argv[3])
+spark = get_spark(app_name=f"tcs-pair-{{cores}}", cores=cores,
+                  shuffle_partitions=parts,
+                  extra_conf={{
+                      "spark.ui.showConsoleProgress": "false",
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={{cores}}",
+                  }})
+run_schedule_round(spark, 50_000, jvm_only=True)  # warm-up (codegen, pools)
+r = run_schedule_round(spark, n, jvm_only=True)
+print(json.dumps({{"cores": cores, "wall_s": r["wall_s"]}}))
+"""
+
+CLEAN_FACTOR = 1.3
+
+
+def run_child(cores: int, n: int, parts: int) -> float:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD.format(repo=REPO),
+         str(cores), str(n), str(parts)],
+        capture_output=True, text=True, timeout=4000,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(out.stdout.strip().splitlines()[-1])["wall_s"]
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    parts = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    lo, hi = 2, 8
+    pairs: list[dict] = []
+    for i in range(k):
+        w_lo = run_child(lo, n, parts)
+        w_hi = run_child(hi, n, parts)
+        eff = w_lo / w_hi / (hi / lo)
+        pairs.append({"wall_2": w_lo, "wall_8": w_hi, "eff": round(eff, 3)})
+        print(f"# pairing {i + 1}/{k}: local[2]={w_lo}s local[8]={w_hi}s "
+              f"eff={eff:.3f}", file=sys.stderr)
+    min_lo = min(p["wall_2"] for p in pairs)
+    min_hi = min(p["wall_8"] for p in pairs)
+    clean = [
+        p for p in pairs
+        if p["wall_2"] <= CLEAN_FACTOR * min_lo and p["wall_8"] <= CLEAN_FACTOR * min_hi
+    ]
+    section = {
+        "n_urls": n,
+        "k_pairings": k,
+        "shuffle_partitions": parts,
+        "active_processor_count_pinned": True,
+        "pairings": pairs,
+        "eff_of_min_walls": round(min_lo / min_hi / (hi / lo), 3),
+        "clean_factor": CLEAN_FACTOR,
+        "n_clean": len(clean),
+        "clean_median": round(statistics.median(p["eff"] for p in clean), 3)
+        if clean else None,
+        "all_median": round(statistics.median(p["eff"] for p in pairs), 3),
+        "all_max": max(p["eff"] for p in pairs),
+    }
+    print(json.dumps(section))
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data[f"pairs_{n}"] = section
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,11 @@ class CrawlConfig:
     # are popped once and never reinserted, and at most one copy of a url is
     # popped per round (min attempt wins). False = the progressive
     # single-interval reinsert schedule (RedisFutureStorage.scala:62-69).
+    # Interaction with evict_unproductive: under fan-out an unproductive
+    # revisit evicts only the POPPED copy — the url's remaining fan-out
+    # copies stay scheduled and will still be fetched at their intervals
+    # (engine and oracle agree; the reference's delete-rare-url semantics
+    # were defined for the progressive schedule where one copy exists).
     fanout_revisits: bool = False
     # OPIC: initial cash (integer micro-units) for a newly scheduled url
     init_cash: int = 1_000_000
@@ -81,6 +86,18 @@ class CrawlConfig:
     # range-partitioned on the priority key and ranked per range partition
     # (+ driver offsets) instead of through one single-partition window
     seq_range_partitions: int = 16
+
+    def __post_init__(self) -> None:
+        # Both the engine's schedule (intervals[:max_attempts] under fan-out)
+        # and the oracle (intervals[j] for j < max_attempts) assume the
+        # schedule covers every attempt; a shorter intervals tuple would make
+        # them diverge (engine truncates, oracle raises IndexError) — fail
+        # fast instead.
+        if self.max_attempts > len(self.intervals):
+            raise ValueError(
+                f"max_attempts ({self.max_attempts}) exceeds the revisit "
+                f"schedule length ({len(self.intervals)} intervals)"
+            )
 
     @property
     def default_host_policy(self) -> tuple[int, int]:

@@ -61,7 +61,9 @@ ORDER BY digest
 # Bounded verify fan-out: at most this many LSH candidates are exact-verified
 # per document (ranked by shared-band count) — caps per-item work and kills
 # hot-cluster skew at 100 TB (a duplicate cluster of size m otherwise costs
-# O(m²) verifications).
+# O(m²) verifications). The cap is applied on BOTH pair endpoints (doc_a and
+# doc_b ranks), so a hub document keeps the bound no matter which side of the
+# doc_a < doc_b ordering it lands on.
 JACCARD_CAND_CAP = 8
 
 
@@ -120,9 +122,11 @@ capped AS (
   SELECT doc_a, doc_b FROM (
     SELECT doc_a, doc_b,
            ROW_NUMBER() OVER (PARTITION BY doc_a
-                              ORDER BY n_shared_bands DESC, doc_b) AS rk
+                              ORDER BY n_shared_bands DESC, doc_b) AS rka,
+           ROW_NUMBER() OVER (PARTITION BY doc_b
+                              ORDER BY n_shared_bands DESC, doc_a) AS rkb
     FROM cand
-  ) ranked WHERE rk <= {JACCARD_CAND_CAP}
+  ) ranked WHERE rka <= {JACCARD_CAND_CAP} AND rkb <= {JACCARD_CAND_CAP}
 ),
 g AS (SELECT doc_id, {grams} AS grams FROM documents),
 scored AS (
