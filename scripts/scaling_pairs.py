@@ -78,7 +78,11 @@ def main() -> None:
         eff = w_lo / w_hi / (hi / lo)
         pairs.append({"wall_2": w_lo, "wall_8": w_hi, "eff": round(eff, 3)})
         print(f"# pairing {i + 1}/{k}: local[2]={w_lo}s local[8]={w_hi}s "
-              f"eff={eff:.3f}", file=sys.stderr)
+              f"eff={eff:.3f}", file=sys.stderr, flush=True)
+        # persist incrementally — a throttle storm can stretch one pairing
+        # past any sane timeout; completed pairings must survive
+        with open(f"/tmp/tcs_pairs_{n}.json", "w") as f:
+            json.dump(pairs, f)
     min_lo = min(p["wall_2"] for p in pairs)
     min_hi = min(p["wall_8"] for p in pairs)
     clean = [

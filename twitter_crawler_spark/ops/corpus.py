@@ -68,11 +68,13 @@ JACCARD_CAND_CAP = 8
 
 
 def _lsh_cte(d: str) -> str:
-    """Shared MinHash-LSH banding CTE chain (hashes → sigs → bands) used by
-    both the candidate-pair query and the Jaccard verify tier."""
-    sig = E.minhash_sig("h", d)
+    """Shared MinHash-LSH banding CTE chain (hashes → sig → bands) used by
+    both the candidate-pair query and the Jaccard verify tier. The signature
+    is computed as ONE array column (single aggregate pass over the token
+    hashes on the Spark side — see exprs.minhash_sig_col) and the band keys
+    are folds over its elements."""
     band_cols = ",\n       ".join(
-        f"{E.band_key(sig, b, d)} AS band{b}" for b in range(E.LSH_BANDS)
+        f"{E.band_key_arr('sig', b, d)} AS band{b}" for b in range(E.LSH_BANDS)
     )
     if d == "spark":
         bands = (
@@ -91,8 +93,11 @@ def _lsh_cte(d: str) -> str:
     return f"""hashes AS (
   SELECT doc_id, {E.token_hashes("text", d)} AS h FROM documents
 ),
+presig AS (
+  SELECT doc_id, {E.minhash_sig_col("h", d)} AS sig FROM hashes
+),
 sigs AS (
-  SELECT doc_id, {band_cols} FROM hashes
+  SELECT doc_id, {band_cols} FROM presig
 ),
 bands AS ({bands})"""
 

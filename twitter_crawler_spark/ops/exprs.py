@@ -163,6 +163,44 @@ def minhash_sig(hashes_col: str, d: str, k: int = MINHASH_K) -> list[str]:
     return [minhash_j(hashes_col, j, d) for j in range(k)]
 
 
+def minhash_sig_col(hashes_col: str, d: str, k: int = MINHASH_K) -> str:
+    """The whole k-wide MinHash signature as ONE array column.
+
+    Spark evaluates it in a single ``aggregate`` pass with a k-element array
+    accumulator (one traversal of the token-hash array, k fused least()
+    updates per element) instead of k independent transform+array_min passes.
+    Measured at sf0.1/local[32] (interleaved A/B, same JVM) the wall is a
+    tie with the k-pass form — dedup_minhash_lsh's cost is dominated by the
+    banded self-join's candidate-pair output (7.7M rows at sf0.1), not the
+    signature computation — but the fused form keeps the expression tree
+    O(1) in k (one aggregate vs k transform+min trees), which matters for
+    codegen size as k grows past 16. DuckDB (the oracle side, where wall
+    time is irrelevant) keeps the k independent list-min expressions; both
+    sides compute min_j((A_j·x+B_j) mod P) over identical int64-exact
+    intermediates, so values match bit-for-bit. Empty token array → NULL
+    (matching arr_min-of-empty in the k-pass form).
+    """
+    if d == "spark":
+        perms = ", ".join(f"({_a(j)} * x + {_b(j)}) % {HASH_P}" for j in range(k))
+        agg = (
+            f"aggregate({hashes_col}, array_repeat(cast({HASH_P} as bigint), {k}),"
+            f" (acc, x) -> zip_with(acc, array({perms}), (m, v) -> least(m, v)))"
+        )
+        return f"(case when size({hashes_col}) = 0 then null else {agg} end)"
+    vals = ", ".join(minhash_j(hashes_col, j, d) for j in range(k))
+    return f"(case when len({hashes_col}) = 0 then null else [{vals}] end)"
+
+
+def band_key_arr(sig_col: str, band: int, d: str, rows: int = LSH_ROWS) -> str:
+    """Combine one band's rows of an ARRAY signature into a bigint bucket key
+    (the array-signature analog of band_key)."""
+    expr = f"cast({HASH_INIT} as bigint)"
+    for r in range(rows):
+        el = arr_at(sig_col, band * rows + r + 1, d)
+        expr = f"(({expr}) * {HASH_MULT} + {el}) % {HASH_P}"
+    return expr
+
+
 def band_key(sig_cols: list[str], band: int, d: str, rows: int = LSH_ROWS) -> str:
     """Combine one band's MinHash rows into a single bigint bucket key."""
     expr = f"cast({HASH_INIT} as bigint)"

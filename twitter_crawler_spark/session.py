@@ -18,6 +18,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    local: bool = True,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -27,13 +28,17 @@ def get_spark(
       no per-row Python, per BASELINE.json input_hint).
     * UTC session timezone: parquet timestamps must mean the same instant to
       Spark, DuckDB (the correctness oracle) and the fixture generator.
+    * ``local=False`` (the ``spark-submit`` path, jobs/crawl.py): no
+      ``.master()`` call — the cluster manager from ``--master`` wins, and
+      ``cores`` only sizes the default shuffle parallelism.
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = SparkSession.builder.appName(app_name)
+    if local:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.session.timeZone", "UTC")
+        b.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
