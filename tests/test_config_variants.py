@@ -9,6 +9,7 @@ import dataclasses
 import pytest
 
 from tests.conftest import TEST_CFG
+from twitter_crawler_spark.config import CrawlConfig
 from twitter_crawler_spark.crawl.engine import CrawlEngine
 from twitter_crawler_spark.oracle.frontier_oracle import FrontierOracle
 
@@ -48,3 +49,11 @@ def test_variant_matches_oracle(spark, fixture_dir, tmp_path_factory, name):
     assert got == want, f"crawl order diverged for variant {name}"
     seen = {r.url for r in eng.url_seen().collect()}
     assert seen == oracle.url_seen
+
+
+def test_config_rejects_short_schedule():
+    """max_attempts > len(intervals) must fail fast (engine would silently
+    truncate fan-out copies while the oracle would IndexError — ADVICE r2)."""
+    with pytest.raises(ValueError, match="max_attempts"):
+        CrawlConfig(max_attempts=5)
+    CrawlConfig(max_attempts=3)  # shorter than schedule is fine
