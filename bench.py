@@ -132,6 +132,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # warm-up at the smallest SF: pays the codegen/parquet-footer/Arrow-pool
+    # costs once so every measured pass is a usable sample (the first pass
+    # used to be pure JVM warm-up)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE_QUERIES:
+            qs[name](spark, warm_dir).count()
     raw: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
     rows: dict[str, int] = {}
     for rep in range(reps):
