@@ -200,3 +200,53 @@ def test_degenerate_span_is_nan():
     # span below the bin-train width (51001s): explicit NaN, not bogus math
     a = [1_700_000_000 + i * 60 for i in range(20)]
     assert math.isnan(calculate_it(a, a))
+
+
+# ---------------------------------------------------------------------------
+# relational oracle (SQL_INFO_TRANSFER) vs the sequential sweep
+# ---------------------------------------------------------------------------
+
+
+def test_sql_oracle_matches_sweep():
+    """The driver-facing DuckDB oracle reformulates the dwell sweep as
+    interval-union + delta-sweep SQL (closed-form domain [0, span-W]); pin it
+    against calculate_it on synthetic series covering the NaN (span<W),
+    boundary (span==W: m=0, single dwell unit) and min-points-drop cases."""
+    import duckdb
+
+    from twitter_crawler_spark.ops.analytics import SQL_INFO_TRANSFER
+
+    rng = random.Random(5)
+    base = 1_700_000_000
+    # per-user raw spans; direction span = to_span + 1 (shared base anchor):
+    # 40_000 → NaN into that user; 51_000 → exactly W (m=0 boundary)
+    spans = {1: 40_000, 2: 51_000, 3: 60_000, 4: 400_000, 5: 200_000, 6: 3 * 86400}
+    series, rows = {}, []
+    for uid, span in spans.items():
+        pts = sorted({base, base + span} | {base + rng.randrange(span) for _ in range(25)})
+        series[uid] = pts
+        rows += [(uid, t) for t in pts]
+    # user 7: below the 10-point minimum → its pairs must be dropped entirely
+    series[7] = [base + i * 1000 for i in range(5)]
+    rows += [(7, t) for t in series[7]]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE raw(user_id BIGINT, tsl BIGINT)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", rows)
+    con.execute("CREATE VIEW events AS SELECT user_id, to_timestamp(tsl) AS ts FROM raw")
+    got = con.execute(SQL_INFO_TRANSFER).fetchdf()
+
+    eligible = [u for u in sorted(series) if len(series[u]) >= 10]
+    expected = [(a, b) for a in eligible for b in eligible if a < b]
+    assert list(zip(got["user_a"], got["user_b"])) == expected
+    for row in got.itertuples(index=False):
+        a, b = series[int(row.user_a)], series[int(row.user_b)]
+        assert row.n_a == len(a) and row.n_b == len(b)
+        for col, frm, to in (("it_ab", a, b), ("it_ba", b, a)):
+            want = calculate_it(frm, to)
+            have = getattr(row, col)
+            if math.isnan(want):
+                assert math.isnan(have), (row.user_a, row.user_b, col)
+            else:
+                assert have == pytest.approx(round(want, 6), abs=1e-9), (
+                    row.user_a, row.user_b, col)

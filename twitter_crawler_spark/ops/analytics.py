@@ -568,8 +568,9 @@ def _it_for_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def q_info_transfer(spark, sf_dir):
     """Pairwise information transfer for the 8 most active users (J7 bounded
     pair cross + A12 grouped sweep, direct + reverse per pair as in
-    package.scala:29-31). Non-SQL tier: correctness is pinned by the pytest
-    twin-implementation comparison, the driver records a rows-only check."""
+    package.scala:29-31). Correctness: pytest twin-implementation comparison
+    AND the relational DuckDB oracle (SQL_INFO_TRANSFER below) — the sweep's
+    dwell distribution has a closed form, see the oracle's header comment."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_timestamp("ts").alias("tsl")
     )
@@ -603,6 +604,146 @@ def q_info_transfer(spark, sf_dir):
     )
 
 
+# Relational twin of the A12 dwell sweep (ops/infotransfer.py, ref
+# metrics/JoinedProcesses.scala:21-66). Why a closed form exists: the sweep
+# visits every shift t where some bin's occupancy can change and accumulates
+# the inter-visit distance as dwell weight, so the resulting distribution is
+# exactly the Lebesgue measure of {t : bitset(t) = k} over the swept domain.
+# The domain is closed-form: min_move clips to remaining+1 when the main
+# train's last bin edge would pass `end`, so the final visited shift is
+# always span - W (W = 43200+7200+600+1 = 51001), i.e. t ∈ [0, span-W],
+# total dwell span-W+1, independent of the visit path (the additional
+# train's clip never wins the min: its train is one interval shorter, so its
+# remaining is always main's remaining + 1). Per bin with boundary prefixes
+# [p_lo, p_hi) a point p keeps the bin occupied for shifts
+# t ∈ [p - begin - p_hi + 1, p - begin - p_lo]  (start ≤ p < end ⟺ that
+# range), so: clip per-point intervals to [0, span-W], union them per bin
+# (gaps-and-islands), sweep ±2^bit deltas over the merged boundaries, and
+# the running sum IS the bitset. Entropies then follow Distribution.scala:
+# H = log2(total) − Σ c·log2(c)/total; drop-last masks out bit 6 (=64);
+# single distribution masks to the main-train bits (8|16|32|64 = 120).
+# Directions with span < W return NaN exactly as calculate_it does.
+SQL_INFO_TRANSFER = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsl FROM events
+),
+top8 AS (
+  SELECT user_id FROM ev GROUP BY user_id
+  ORDER BY count(*) DESC, user_id LIMIT 8
+),
+pts AS (
+  SELECT DISTINCT e.user_id, e.tsl FROM ev e JOIN top8 t USING (user_id)
+),
+stats AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, MIN(tsl) AS mn, MAX(tsl) AS mx
+  FROM pts GROUP BY user_id
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.n AS n_a, b.n AS n_b
+  FROM stats a JOIN stats b ON a.user_id < b.user_id
+  WHERE a.n >= 10 AND b.n >= 10
+),
+dirs AS (
+  SELECT p.user_a, p.user_b, d.dd,
+         CASE WHEN d.dd = 0 THEN p.user_a ELSE p.user_b END AS u_from,
+         CASE WHEN d.dd = 0 THEN p.user_b ELSE p.user_a END AS u_to
+  FROM pairs p CROSS JOIN (SELECT 0 AS dd UNION ALL SELECT 1) d
+),
+valid AS (
+  SELECT d.user_a, d.user_b, d.dd, d.u_from, d.u_to,
+         LEAST(sf.mn, st.mn) AS t_begin,
+         (st.mx + 1) - LEAST(sf.mn, st.mn) - 51001 AS m
+  FROM dirs d
+  JOIN stats sf ON sf.user_id = d.u_from
+  JOIN stats st ON st.user_id = d.u_to
+  WHERE (st.mx + 1) - LEAST(sf.mn, st.mn) >= 51001
+),
+bins(which, bit, p_lo, p_hi) AS (
+  VALUES (0, 1, 0, 43200), (0, 2, 43200, 50400), (0, 4, 50400, 51000),
+         (1, 8, 0, 43200), (1, 16, 43200, 50400), (1, 32, 50400, 51000),
+         (1, 64, 51000, 51001)
+),
+iv AS (
+  SELECT v.user_a, v.user_b, v.dd, b.bit,
+         GREATEST(p.tsl - v.t_begin - b.p_hi + 1, 0) AS lo,
+         LEAST(p.tsl - v.t_begin - b.p_lo, v.m) AS hi
+  FROM valid v
+  JOIN bins b ON TRUE
+  JOIN pts p ON p.user_id = CASE WHEN b.which = 0 THEN v.u_from ELSE v.u_to END
+  WHERE GREATEST(p.tsl - v.t_begin - b.p_hi + 1, 0)
+        <= LEAST(p.tsl - v.t_begin - b.p_lo, v.m)
+),
+merged AS (
+  SELECT user_a, user_b, dd, bit, MIN(lo) AS lo, MAX(hi) AS hi
+  FROM (
+    SELECT *, SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi + 1
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_a, user_b, dd, bit ORDER BY lo, hi
+                    ROWS UNBOUNDED PRECEDING) AS island
+    FROM (
+      SELECT *, MAX(hi) OVER (PARTITION BY user_a, user_b, dd, bit
+                              ORDER BY lo, hi
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_hi
+      FROM iv
+    )
+  )
+  GROUP BY user_a, user_b, dd, bit, island
+),
+deltas AS (
+  SELECT user_a, user_b, dd, lo AS t, bit AS d FROM merged
+  UNION ALL SELECT user_a, user_b, dd, hi + 1, -bit FROM merged
+  UNION ALL SELECT user_a, user_b, dd, 0, 0 FROM valid
+  UNION ALL SELECT user_a, user_b, dd, m + 1, 0 FROM valid
+),
+net AS (
+  SELECT user_a, user_b, dd, t, SUM(d) AS nd
+  FROM deltas GROUP BY user_a, user_b, dd, t
+),
+seg AS (
+  SELECT user_a, user_b, dd,
+         CAST(SUM(nd) OVER w AS BIGINT) AS bk,
+         LEAD(t) OVER w - t AS dwell
+  FROM net
+  WINDOW w AS (PARTITION BY user_a, user_b, dd ORDER BY t)
+),
+jd AS (
+  SELECT user_a, user_b, dd, bk, CAST(SUM(dwell) AS BIGINT) AS w
+  FROM seg WHERE dwell IS NOT NULL GROUP BY user_a, user_b, dd, bk
+),
+dists AS (
+  SELECT user_a, user_b, dd, which, k, CAST(SUM(w) AS BIGINT) AS c
+  FROM (
+    SELECT user_a, user_b, dd, 0 AS which, bk AS k, w FROM jd
+    UNION ALL SELECT user_a, user_b, dd, 1, bk & 63, w FROM jd
+    UNION ALL SELECT user_a, user_b, dd, 2, bk & 120, w FROM jd
+    UNION ALL SELECT user_a, user_b, dd, 3, bk & 56, w FROM jd
+  ) GROUP BY user_a, user_b, dd, which, k
+),
+hs AS (
+  SELECT user_a, user_b, dd, which,
+         log2(CAST(SUM(c) AS DOUBLE))
+         - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c) AS h
+  FROM dists GROUP BY user_a, user_b, dd, which
+),
+itv AS (
+  SELECT user_a, user_b, dd,
+         (MAX(CASE WHEN which = 2 THEN h END)
+          - MAX(CASE WHEN which = 3 THEN h END))
+         - (MAX(CASE WHEN which = 0 THEN h END)
+            - MAX(CASE WHEN which = 1 THEN h END)) AS it
+  FROM hs GROUP BY user_a, user_b, dd
+)
+SELECT p.user_a AS user_a, p.user_b AS user_b, p.n_a AS n_a, p.n_b AS n_b,
+       ROUND(COALESCE(i0.it, 'NaN'::DOUBLE), 6) AS it_ab,
+       ROUND(COALESCE(i1.it, 'NaN'::DOUBLE), 6) AS it_ba
+FROM pairs p
+LEFT JOIN itv i0 ON i0.user_a = p.user_a AND i0.user_b = p.user_b AND i0.dd = 0
+LEFT JOIN itv i1 ON i1.user_a = p.user_a AND i1.user_b = p.user_b AND i1.dd = 1
+ORDER BY p.user_a, p.user_b
+"""
+
+
 ANALYTICS_QUERIES = {
     "host_budget_rank": (q_host_budget_rank, SQL_HOST_BUDGET_RANK),
     "opic_gains": (q_opic_gains, SQL_OPIC_GAINS),
@@ -621,7 +762,7 @@ ANALYTICS_QUERIES = {
     "first_hour_features": (q_first_hour, SQL_FIRST_HOUR),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
-    "info_transfer": (q_info_transfer, None),  # non-SQL (grouped Arrow UDF)
+    "info_transfer": (q_info_transfer, SQL_INFO_TRANSFER),
 }
 
 
