@@ -40,15 +40,26 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--shuffle-partitions", type=int, default=None,
                    help="fixed shuffle partition count (size to the data, "
                         "not the executor count)")
+    p.add_argument("--shared-state", action="store_true",
+                   help="declare that --state (and its bloom sidecars) is on "
+                        "a filesystem shared by all executors; REQUIRED for a "
+                        "non-local --master (the engine fails fast otherwise, "
+                        "because node-local sidecars silently lose dedup "
+                        "state)")
     return p.parse_args(argv)
 
 
 def main(argv: list[str]) -> int:
     args = parse_args(argv)
     # imports deferred until after --py-files has placed the zip on sys.path
+    import os
+
     from twitter_crawler_spark.config import CrawlConfig
     from twitter_crawler_spark.crawl.engine import CrawlEngine
     from twitter_crawler_spark.session import get_spark
+
+    if args.shared_state:
+        os.environ["TCS_STATE_SHARED"] = "1"
 
     spark = get_spark(app_name="tcs-crawl", local=False,
                       shuffle_partitions=args.shuffle_partitions)

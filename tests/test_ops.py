@@ -25,11 +25,11 @@ def test_registry_complete():
     assert len(qs) >= 30
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle without query: {missing}"
-    # non-SQL tier is the known, documented set (multimodal_features gained a
-    # byte-arithmetic SQL oracle in round 3; info_transfer stays rows-only —
-    # the conditional-entropy sweep is inherently non-SQL)
+    # every query is SQL-checkable: multimodal_features gained its
+    # byte-arithmetic oracle in round 3, info_transfer its closed-form
+    # dwell-measure oracle in round 4
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"info_transfer"}
+    assert rows_only == set()
 
 
 def test_entry_runs(spark):
@@ -61,6 +61,49 @@ def test_multimodal_sql_twin_matches_mapinpandas(spark):
     got = got.sort_values("doc_id").reset_index(drop=True)
     twin = twin.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, twin, check_dtype=False)
+
+
+def test_multimodal_vectorized_matches_per_item_decode():
+    """The whole-batch numpy path must agree byte-for-byte with the per-item
+    decode_image loop (the real-codec shape) on adversarial payloads: empty,
+    1-byte, NULL, and sizes straddling the tile remainder."""
+    from twitter_crawler_spark.ops.multimodal import _features_batch
+
+    payloads = [b"", b"\x07", b"\xff\x00", None, bytes(range(256)),
+                b"x" * 63, b"abc" * 50, b"\x00" * 10]
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    fast = pd.concat(_features_batch(iter([pdf]), fake=True), ignore_index=True)
+    slow_rows = []
+    from twitter_crawler_spark.ops.multimodal import decode_image, intensity_e6
+
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        payload = bytes(payload) if payload is not None else b""
+        img = decode_image(payload, fake=True)
+        slow_rows.append((int(doc_id), len(payload), img.shape[1], img.shape[0],
+                          intensity_e6(img), 1))
+    slow = pd.DataFrame(slow_rows, columns=list(fast.columns))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_documents_text_is_ascii_nonnull():
+    """The multimodal SQL oracle equates length(text) with byte length
+    (charcode == byte) — valid only for ASCII, non-NULL text. Assert the
+    testdata satisfies it so a fixture change fails HERE, not as a confusing
+    oracle hash mismatch (see sql_multimodal_features)."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    assert docs["text"].notna().all()
+    assert docs["text"].map(lambda t: t.isascii()).all()
+
+
+def test_require_shared_state_gate():
+    from twitter_crawler_spark.crawl.engine import require_shared_state
+
+    require_shared_state("local[8]", "/tmp/s", False)  # local: fine
+    require_shared_state("spark://h:7077", "/mnt/nfs/s", True)  # declared: fine
+    with pytest.raises(RuntimeError, match="shared filesystem"):
+        require_shared_state("spark://h:7077", "/tmp/s", False)
+    with pytest.raises(RuntimeError, match="shared filesystem"):
+        require_shared_state("yarn", "/tmp/s", False)
 
 
 def test_info_transfer_matches_pandas(spark):

@@ -58,6 +58,26 @@ def _host_col(url):
     return F.substring_index(F.substring_index(url, "://", -1), "/", 1)
 
 
+def require_shared_state(master: str, state_dir: str, declared_shared: bool) -> None:
+    """The snapshot store + bloom/cuckoo sidecars are filesystem paths written
+    from EXECUTOR tasks (seen.py applyInPandas shards, state.py manifest). On
+    a multi-node cluster that path must be a shared mount (NFS/Lustre/fuse) —
+    otherwise shards written on one executor are invisible to the others and
+    the bloom tier silently re-schedules already-seen urls. Fail fast rather
+    than corrupt dedup: a non-local master requires an explicit declaration
+    (``--shared-state`` / TCS_STATE_SHARED=1) that ``state_dir`` is shared."""
+    if master.startswith("local") or declared_shared:
+        return
+    raise RuntimeError(
+        f"master {master!r} is distributed but state dir {state_dir!r} was "
+        "not declared to be on a shared filesystem; bloom/cuckoo sidecars and "
+        "the snapshot manifest are plain file I/O from executor tasks, so a "
+        "node-local path silently loses dedup state. Pass --shared-state "
+        "(jobs/crawl.py) or set TCS_STATE_SHARED=1 once the path is on a "
+        "shared mount."
+    )
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -71,6 +91,10 @@ class CrawlEngine:
         self.cfg = cfg or CrawlConfig()
         assert len(self.cfg.intervals) >= self.cfg.max_attempts
         self.fx = fixture_dir
+        require_shared_state(
+            spark.sparkContext.master, state_dir,
+            os.environ.get("TCS_STATE_SHARED", "") == "1",
+        )
         self.store = SnapshotStore(state_dir)
         self.use_filters = use_filters
         self._load_static()
@@ -321,10 +345,15 @@ class CrawlEngine:
         point the bloom/cuckoo tiers leave a few thousand candidates and this
         scan touches only their buckets' files, never the full seen table."""
         seen_all = self.store.read_log(self.spark, "url_seen", prev)
-        if exact_buckets:
-            seen_scan = seen_all.where(F.col("bucket").isin(exact_buckets))
-        else:
+        if not exact_buckets:
             seen_scan = seen_all.where(F.lit(False))
+        elif len(exact_buckets) >= self.cfg.seen_partitions:
+            # dense candidate slice occupies every bucket: an IN-list over
+            # 10^4-10^5 buckets bloats the plan for zero pruning benefit —
+            # the full scan is what the planner would do anyway
+            seen_scan = seen_all
+        else:
+            seen_scan = seen_all.where(F.col("bucket").isin(exact_buckets))
         return need_exact.join(
             seen_scan.select(F.col("url").alias("dst")), "dst", "left_anti"
         )

@@ -476,10 +476,13 @@ def sql_multimodal_features(d: str) -> str:
     sum(first (h*w mod n) codes), and the mean is the floored integer
     intensity_e6 = pix_sum * 10^6 div (h*w), bit-identical to the Python path.
     Assumes 1-byte characters (charcode == byte value — the ASCII testdata
-    satisfies this; the mapInPandas implementation itself is byte-general).
-    The Spark dialect exists only as a pytest 3-way pin; the engine-side
-    implementation stays the Arrow mapInPandas pipeline."""
-    codes = E.char_codes("text", d)
+    satisfies this, and tests/test_ops.py asserts it at generation scale so a
+    fixture change fails loudly instead of surfacing as a confusing oracle
+    mismatch; the mapInPandas implementation itself is byte-general). NULL
+    text is coalesced to '' — the zeros row the Python path emits for an
+    absent payload. The Spark dialect exists only as a pytest 3-way pin; the
+    engine-side implementation stays the Arrow mapInPandas pipeline."""
+    codes = E.char_codes("coalesce(text, '')", d)
     code_sum = E.arr_sum_bigint("codes", d)
     b0 = E.arr_at("codes", 1, d)
     b1 = E.arr_at("codes", 2, d)
@@ -489,7 +492,8 @@ def sql_multimodal_features(d: str) -> str:
     pix = _intdiv("(pix_sum * 1000000)", hw, d)
     return f"""
 WITH c AS (
-  SELECT doc_id, length(text) AS n, {codes} AS codes FROM documents
+  SELECT doc_id, length(coalesce(text, '')) AS n, {codes} AS codes
+  FROM documents
 ),
 dims AS (
   SELECT doc_id, n, codes,

@@ -60,28 +60,62 @@ def intensity_e6(img: np.ndarray) -> int:
     return int(img.sum(dtype=np.int64)) * 1_000_000 // int(img.size)
 
 
+_FEATURE_COLS = ["doc_id", "n_bytes", "width", "height", "intensity_e6", "frame_count"]
+
+
+def _fake_features_vectorized(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-batch numpy path for the fake decoder: the pseudo-decode is pure
+    byte arithmetic (h = 8 + b0%8, w = 8 + b1%8, pixels = payload tiled to
+    h*w), so one concatenated buffer + prefix sums computes every row's
+    tiled pixel sum with zero per-row Python — reduceat/cumsum instead of
+    the per-item zip loop a real codec would need."""
+    payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+    n = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
+    buf = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(n)))[:-1]
+    csum = np.concatenate(([0], np.cumsum(buf)))
+    total = csum[starts + n] - csum[starts]
+    safe0 = np.minimum(starts, max(len(buf) - 1, 0))
+    b0 = np.where(n >= 1, buf[safe0] if len(buf) else 0, 0)
+    b1 = np.where(n >= 2, buf[np.minimum(safe0 + 1, max(len(buf) - 1, 0))] if len(buf) else 0, 0)
+    h = 8 + np.where(n >= 1, b0 % 8, 0)
+    w = 8 + np.where(n >= 2, b1 % 8, 0)
+    hw = h * w
+    n_safe = np.maximum(n, 1)
+    rem = hw % n_safe
+    rem_sum = csum[starts + rem] - csum[starts]
+    pix_sum = (hw // n_safe) * total + rem_sum
+    intensity = np.where(n > 0, pix_sum * 1_000_000 // hw, 0)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+            "n_bytes": n.astype(np.int32),
+            "width": w.astype(np.int32),
+            "height": h.astype(np.int32),
+            "intensity_e6": intensity.astype(np.int64),
+            "frame_count": np.ones(len(n), np.int32),
+        }
+    )
+
+
 def _features_batch(it, fake: bool = True):
     for pdf in it:
+        if not len(pdf):
+            continue
+        if fake:
+            yield _fake_features_vectorized(pdf)
+            continue
+        # real-codec shape: decoders are inherently per-item — this loop is
+        # the documented integration point for PIL/ffmpeg
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             payload = bytes(payload) if payload is not None else b""
             img = decode_image(payload, fake=fake)
             rows.append(
-                (
-                    int(doc_id),
-                    len(payload),
-                    img.shape[1],
-                    img.shape[0],
-                    intensity_e6(img),
-                    1,
-                )
+                (int(doc_id), len(payload), img.shape[1], img.shape[0],
+                 intensity_e6(img), 1)
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "n_bytes", "width", "height", "intensity_e6", "frame_count",
-            ],
-        )
+        yield pd.DataFrame(rows, columns=_FEATURE_COLS)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
