@@ -107,7 +107,7 @@ def main() -> None:
     eng.init_state()
     from pyspark.sql import functions as F
 
-    frontier = eng.store.read_state(spark, "frontier", -1)
+    frontier = eng._frontier_live(-1)
     popped = frontier.limit(5).select("url", "last_cursor")
     fetch = (
         eng._pages()
@@ -152,6 +152,21 @@ def main() -> None:
         )
     )
 
+    # 5. the merge-on-read frontier due scan: the banded base (and any ins
+    # log) must partition-prune to due bands — the band filter has to reach
+    # the parquet scan as a PartitionFilters entry, so a round never reads
+    # future-scheduled frontier rows (the 10^10-row full-scan killer)
+    due_plan = _fmt(eng._frontier_live(-1, due_band=0))
+    sections.append(
+        (
+            "crawl_frontier_due_scan",
+            due_plan,
+            [r"PartitionFilters: \[[^\]]*band"],
+            [UNPARTITIONED_WINDOW],
+            {},
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)",
            "",
            "Each section lists the physical properties the 100 TB design requires",
@@ -178,7 +193,7 @@ def main() -> None:
         out.append("```\n" + plan.strip()[:4000] + "\n```\n")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"audited {len(sections)} plans ({len(qs)} catalog queries + 3 engine flows)")
+    print(f"audited {len(sections)} plans ({len(qs)} catalog queries + 4 engine flows)")
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)
 

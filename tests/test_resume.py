@@ -57,6 +57,55 @@ def test_zero_refetch_on_resume(spark, fixture_dir, tmp_path_factory):
     assert not dup, f"re-fetched pops: {dup}"
 
 
+def test_resume_across_compaction_boundary(spark, fixture_dir, tmp_path_factory):
+    """Compaction (compact_every=4 → rounds 3 and 7 here) folds the frontier
+    sidecar logs into a fresh banded base, merges url_seen/docs/edges into
+    generation dirs and GCs the folded round dirs. A run interrupted right
+    before a compaction round and resumed by a fresh engine must still equal
+    the uninterrupted run, and the manifest's arithmetic frontier count must
+    equal the materialized merge-on-read view."""
+    import dataclasses
+
+    from twitter_crawler_spark.oracle.frontier_oracle import FrontierOracle
+
+    cfg = dataclasses.replace(TEST_CFG, compact_every=4, max_rounds=9)
+    rounds = 9
+
+    one = str(tmp_path_factory.mktemp("compact") / "oneshot")
+    eng1 = CrawlEngine(spark, fixture_dir, one, cfg)
+    eng1.run(max_rounds=rounds)
+
+    two = str(tmp_path_factory.mktemp("compact") / "interrupted")
+    CrawlEngine(spark, fixture_dir, two, cfg).run(max_rounds=3)
+    eng2 = CrawlEngine(spark, fixture_dir, two, cfg)
+    eng2.run(max_rounds=rounds)
+
+    # compaction must be invisible to the semantics: the compacted run is
+    # still golden vs the pure-Python oracle
+    want = [(c["round"], c["seq"], c["url"]) for c in FrontierOracle(
+        fixture_dir, cfg).run().crawl_order]
+    assert _trace(eng1) == want
+    assert _trace(eng1) == _trace(eng2)
+    assert {r.url for r in eng1.url_seen().collect()} == {
+        r.url for r in eng2.url_seen().collect()
+    }
+    d1 = {r.url: r.text_sha256 for r in eng1.docs().collect()}
+    d2 = {r.url: r.text_sha256 for r in eng2.docs().collect()}
+    assert d1 == d2
+    for eng in (eng1, eng2):
+        assert eng.store.state("frontier_base_round") >= 0, "compaction ran"
+        assert eng.frontier_live().count() == eng.store.state("frontier_count")
+    # folded round dirs are GC'd: only the base generation + tail remain
+    base = eng1.store.state("frontier_base_round")
+    frontier_dirs = sorted(os.listdir(os.path.join(one, "frontier")))
+    assert frontier_dirs == [f"r={base}"]
+    seen_dirs = sorted(os.listdir(os.path.join(one, "url_seen")))
+    assert f"gen={eng1.store.state('log_base')['url_seen']}" in seen_dirs
+    assert all(
+        not d.startswith("r=") or int(d.split("=")[1]) > base for d in seen_dirs
+    )
+
+
 def test_uncommitted_debris_discarded(spark, fixture_dir, tmp_path_factory):
     state = str(tmp_path_factory.mktemp("resume") / "debris")
     eng = CrawlEngine(spark, fixture_dir, state, TEST_CFG)

@@ -86,7 +86,7 @@ def test_check_fn_classification(tmp_path):
     sh.add(added)
     d = str(tmp_path)
     sh.save(shard_path(d, 3))
-    check = make_seen_check_fn([d])
+    check = make_seen_check_fn({3: shard_path(d, 3)})
     fresh = rng.integers(-(2**62), 2**62, 300, dtype=np.int64)
     fresh = np.setdiff1d(fresh, added)
     pdf = pd.DataFrame(

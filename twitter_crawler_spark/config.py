@@ -86,6 +86,18 @@ class CrawlConfig:
     # range-partitioned on the priority key and ranked per range partition
     # (+ driver offsets) instead of through one single-partition window
     seq_range_partitions: int = 16
+    # frontier merge-on-read layout (Iceberg delete-file analog): the banded
+    # base is partitioned by band = next_fetch_ts div (round_tick *
+    # frontier_band_rounds) so the due scan partition-prunes to due bands; a
+    # round appends ins/del/gains sidecar logs instead of rewriting the
+    # frontier (a full rewrite per round is ~1 TB of parquet writes per
+    # 0.001% delta at the 10^10-URL design point)
+    frontier_band_rounds: int = 4
+    # fold the sidecar logs into a fresh banded base and merge the
+    # url_seen/docs/edges round dirs into one generation every K committed
+    # rounds (0 disables compaction); bounds sidecar-resolution and
+    # listing costs to O(K), amortized rewrite cost to 1/K per round
+    compact_every: int = 8
 
     def __post_init__(self) -> None:
         # Both the engine's schedule (intervals[:max_attempts] under fan-out)
@@ -102,6 +114,11 @@ class CrawlConfig:
     @property
     def default_host_policy(self) -> tuple[int, int]:
         return (self.default_budget, self.default_crawl_delay)
+
+    @property
+    def band_ticks(self) -> int:
+        """Width of one frontier next_fetch_ts band in logical seconds."""
+        return self.round_tick * self.frontier_band_rounds
 
 
 # epoch base for mapping logical seconds <-> warc_ts timestamps in fixtures

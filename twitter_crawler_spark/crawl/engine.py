@@ -11,7 +11,15 @@ Round r (logical clock ``t_r = r * round_tick``), all stages DataFrame-native:
   links    = mapInPandas outlink extraction → canonicalize → redirects    P3/P8
   new      = robots longest-prefix filter → bloom → cuckoo → exact
              anti-join vs url_seen                                        D1-D4
-  frontier' = (pending ∖ popped) ∪ reinserted ∪ new, + OPIC gains         F1/F3/F4/A15
+  frontier' = merge-on-read delta: popped keys → frontier_del (equality-
+             delete files), reinserted ∪ new → frontier_ins (banded),
+             OPIC cash → frontier_gains; NO rewrite of the 10^10-row
+             base — the live view is base ∪ ins ∖ del with gains folded
+             at read, and the due scan partition-prunes to due
+             next_fetch_ts bands                                          F1/F3/F4/A15
+  compact  = every K rounds fold the sidecars into a fresh banded base
+             and merge url_seen/docs/edges into one generation dir
+             (Iceberg rewrite_data_files analog) — amortized 1/K
   commit   = parquet round dirs + versioned bloom sidecars + atomic
              manifest replace (Iceberg snapshot analog)                   C1/C4
 
@@ -168,11 +176,74 @@ class CrawlEngine:
             "allowed", F.coalesce(F.col("best.allow"), F.lit(True))
         ).drop("best")
 
+    # ---------------------------------------------------------- frontier view
+
+    def _band(self, col: str = "next_fetch_ts"):
+        """Coarse next_fetch_ts band — the frontier's partition column. Due
+        rows at round r all live in bands ≤ t_r div band_ticks, so the due
+        scan partition-prunes instead of reading the full 10^10-row state."""
+        return F.expr(f"{col} div {self.cfg.band_ticks}").cast("int")
+
+    def _frontier_live(self, prev: int, due_band: int | None = None) -> DataFrame:
+        """Merge-on-read live frontier as of committed round ``prev``:
+        banded base ∪ frontier_ins appends, minus frontier_del keys (the
+        popped (url, attempt) rows — equality-delete semantics; a key is
+        inserted at most once and deleted at most once, since attempts only
+        grow per url), with pending OPIC gains folded into ``score``.
+
+        Gains fold: a row written at round k has all gains ≤ k applied (the
+        writer folds that round's gains in), so its pending cash is the sum
+        of logged gains with round > k — the partition column ``r`` IS the
+        per-row gains watermark, no extra schema. The log spans at most
+        ``compact_every`` rounds (compaction truncates it), so it broadcast-
+        joins as a per-url struct list folded by a JVM higher-order function
+        — no shuffle of the frontier itself, ever."""
+        st, s = self.store, self.spark
+        g = int(st.state("frontier_base_round"))
+        base = s.read.option(
+            "basePath", os.path.join(st.root, "frontier")
+        ).parquet(st.round_dir("frontier", g))
+        ins = st.read_rounds(s, "frontier_ins", prev, min_round=g + 1, drop_r=False)
+        rows = base if ins is None else base.unionByName(ins)
+        if due_band is not None:
+            rows = rows.where(F.col("band") <= due_band)
+        rows = rows.withColumnRenamed("r", "_gthrough").drop("band")
+        dels = st.read_rounds(s, "frontier_del", prev, min_round=g + 1)
+        if dels is not None:
+            rows = rows.join(F.broadcast(dels), ["url", "attempt"], "left_anti")
+        gains = st.read_rounds(s, "frontier_gains", prev, min_round=g + 1, drop_r=False)
+        if gains is not None:
+            glist = gains.groupBy("url").agg(
+                F.collect_list(
+                    F.struct(F.col("r").alias("gr"), F.col("gain").alias("g"))
+                ).alias("_glist")
+            )
+            pend = F.when(F.col("_glist").isNull(), F.lit(0).cast("long")).otherwise(
+                F.aggregate(
+                    F.filter(
+                        F.col("_glist"), lambda e: e["gr"] > F.col("_gthrough")
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc + e["g"],
+                )
+            )
+            rows = (
+                rows.join(F.broadcast(glist), "url", "left")
+                .withColumn("score", (F.col("score") + pend).cast("long"))
+                .drop("_glist")
+            )
+        return rows.select(*[f.name for f in schemas.FRONTIER.fields])
+
+    def frontier_live(self) -> DataFrame:
+        """Public live-frontier view at the committed snapshot."""
+        return self._frontier_live(self.store.committed_round())
+
     # ------------------------------------------------------------------ init
 
     def init_state(self) -> None:
-        """Round -1 snapshot: frontier from seeds (robots-filtered), hosts from
-        the politeness table, url_seen = scheduled seeds, fresh bloom shards."""
+        """Round -1 snapshot: banded frontier base from seeds
+        (robots-filtered), hosts from the politeness table, url_seen =
+        scheduled seeds, fresh bloom shards + manifest bucket map."""
         cfg, s = self.cfg, self.spark
         seeds = s.createDataFrame([(u,) for u in self.seeds], ["url"]).distinct()
         allowed = self._robots_allow(seeds).where("allowed").select("url")
@@ -191,6 +262,7 @@ class CrawlEngine:
         fr = fr.select(
             *[F.col(f.name).cast(f.dataType) for f in schemas.FRONTIER.fields]
         ).cache()
+        n0 = fr.count()
         hosts = self.politeness.withColumn("last_fetch_round", F.lit(None).cast("int"))
         # url_seen is laid out bucketed by url_hash % seen_partitions (like
         # pages) so the exact dedup tier partition-prunes to candidate buckets
@@ -200,17 +272,31 @@ class CrawlEngine:
             "url_hash", "url", F.lit(-1).alias("first_round"),
             F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
         )
-        self.store.write_round(fr, "frontier", -1)
+        self.store.write_round(
+            fr.withColumn("band", self._band()), "frontier", -1,
+            partition_by=("band",),
+        )
         self.store.write_round(hosts, "hosts", -1)
         self.store.write_round(seen, "url_seen", -1, partition_by=("bucket",))
+        bloom_map: dict[str, int] = {}
         if self.use_filters:
-            upd = make_seen_update_fn([], self.store.bloom_dir(-1), cfg)
-            (
+            upd = make_seen_update_fn({}, self.store.bloom_dir(-1), cfg)
+            shard_rows = (
                 seen.groupBy("bucket")
                 .applyInPandas(upd, "bucket int, added long, overflowed boolean")
                 .collect()
             )
-        self.store.commit(-1, {"seeds": len(self.seeds)})
+            bloom_map = {str(int(row["bucket"])): -1 for row in shard_rows}
+        self.store.commit(
+            -1,
+            {"seeds": len(self.seeds)},
+            state={
+                "frontier_base_round": -1,
+                "frontier_count": n0,
+                "log_base": {},
+                "bloom_map": bloom_map,
+            },
+        )
 
     # ------------------------------------------------------------------ run
 
@@ -280,13 +366,15 @@ class CrawlEngine:
 
     def _pop_ranged(self, survivors: DataFrame) -> DataFrame:
         """Range-shuffle the batch on the priority key and tag each row with
-        its physical range partition (_pid) + pages bucket (_b). First half of
-        the global pop-order assignment — see ``_attach_seq``."""
+        its physical range partition (_pid) + pages bucket (_b) + url_seen/
+        docs bucket (_sb). First half of the global pop-order assignment —
+        see ``_attach_seq``."""
         cfg = self.cfg
         return (
             survivors.repartitionByRange(cfg.seq_range_partitions, *self._order_cols())
             .withColumn("_pid", F.spark_partition_id())
             .withColumn("_b", F.pmod("url_hash", F.lit(cfg.pages_buckets)))
+            .withColumn("_sb", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
         )
 
     def _attach_seq(self, ranged: DataFrame, offsets: dict[int, int]) -> DataFrame:
@@ -372,21 +460,23 @@ class CrawlEngine:
         # round — by round ~10 the BigInt stats arithmetic alone takes
         # minutes (SizeInBytesOnlyStatsPlanVisitor multiplies them). Parquet
         # leaves reset the estimate to real file sizes each round.
-        frontier = self.store.read_state(s, "frontier", prev)
+        # The due scan partition-prunes to bands ≤ t_r div band_ticks —
+        # future-scheduled bands are never read.
+        due_live = self._frontier_live(prev, due_band=t_r // cfg.band_ticks)
         hosts = self.store.read_state(s, "hosts", prev).localCheckpoint()
         _t = time.time()
 
         # ---- pop: due filter + crawl-delay + salted per-host budget window ----
-        survivors = self._pop_survivors(frontier, hosts, t_r, r)
+        survivors = self._pop_survivors(due_live, hosts, t_r, r)
         # The checkpoint pins the sampled range partitioning so the offsets
         # collected below can never disagree with the window's partitions
         # (and cuts lineage: the batch is consumed by five downstream stages;
         # durability comes from the snapshot store, not from this).
         ranged = self._pop_ranged(survivors).localCheckpoint()
-        # one job: per-(range-partition, page-bucket) counts → batch size,
-        # the bucket list for fetch-join partition pruning, AND the seq
-        # offsets, all from one tiny collect
-        pb_counts = ranged.groupBy("_pid", "_b").count().collect()
+        # one job: per-(range-partition, page-bucket, seen-bucket) counts →
+        # batch size, the bucket lists for fetch-join AND docs-anti-join
+        # partition pruning, AND the seq offsets, all from one tiny collect
+        pb_counts = ranged.groupBy("_pid", "_b", "_sb").count().collect()
         n_popped = sum(int(row["count"]) for row in pb_counts)
         pid_totals: dict[int, int] = {}
         for row in pb_counts:
@@ -474,10 +564,19 @@ class CrawlEngine:
             F.lit(r).alias("round"),
             F.lit(t_r).cast("long").alias("ts"),
         )
+        # docs is laid out bucketed by url_hash % seen_partitions exactly like
+        # url_seen, so this first-fetch anti-join prunes to the buckets the
+        # popped batch occupies instead of shuffling the whole append-only
+        # docs log every round (the largest log at the design point)
         docs_all = self.store.read_log(s, "docs", prev)
         first_fetch = res
         if docs_all is not None:
-            first_fetch = res.join(docs_all.select("url"), "url", "left_anti")
+            pop_buckets = sorted({int(row["_sb"]) for row in pb_counts})
+            if pop_buckets and len(pop_buckets) < cfg.seen_partitions:
+                docs_scan = docs_all.where(F.col("bucket").isin(pop_buckets))
+            else:
+                docs_scan = docs_all
+            first_fetch = res.join(docs_scan.select("url"), "url", "left_anti")
         docs_new = (
             first_fetch.withColumn("html_str", F.decode("latest_html", "UTF-8"))
             .withColumn(
@@ -488,11 +587,13 @@ class CrawlEngine:
                     )
                 ),
             )
+            .join(F.broadcast(popped.select("url", "url_hash")), "url")
             .select(
                 "url",
                 F.lit(r).alias("round"),
                 "text",
                 F.sha2(F.encode("text", "UTF-8"), 256).alias("text_sha256"),
+                F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
             )
         )
 
@@ -526,9 +627,11 @@ class CrawlEngine:
             .withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_partitions)))
         )
 
-        bloom_rounds = self.store.bloom_round_dirs(prev) if self.use_filters else []
+        # bucket → shard path from the committed manifest: O(1) resolution
+        # per bucket inside tasks, regardless of how many rounds have run
+        bucket_paths = self.store.bloom_paths() if self.use_filters else {}
         if self.use_filters:
-            check = make_seen_check_fn(bloom_rounds)
+            check = make_seen_check_fn(bucket_paths)
             flagged = cand.groupBy("bucket").applyInPandas(
                 check,
                 "dst string, parent_depth int, allowed boolean,"
@@ -614,21 +717,31 @@ class CrawlEngine:
             )
         )
 
-        # ---- next frontier + gains ------------------------------------------------
-        # anti-join on (url, attempt): under fan-out, popping one copy must
-        # not remove the url's other scheduled copies (url alone is the key
-        # only in the progressive schedule, where it is equivalent)
-        pending = frontier.join(
-            popped.select("url", "attempt"), ["url", "attempt"], "left_anti"
-        )
-        f_next = (
-            pending.unionByName(reinserted).unionByName(new_rows)
-            .join(gains.withColumnRenamed("dst", "url"), "url", "left")
+        # ---- frontier delta (merge-on-read) ----------------------------------------
+        # The round never rewrites the frontier base: popped keys become
+        # equality-delete rows (on (url, attempt) — under fan-out, popping
+        # one copy must not remove the url's other scheduled copies), the
+        # reinserted + new rows become banded inserts, and the OPIC cash
+        # becomes a gains-log append. Rows written here fold this round's
+        # gains immediately (their log round r is their per-row gains
+        # watermark); every other live row picks round-r gains up from the
+        # log when it is next read.
+        gains_u = gains.withColumnRenamed("dst", "url")
+        ins_rows = (
+            reinserted.unionByName(new_rows)
+            .join(gains_u, "url", "left")
             .withColumn("score", (F.col("score") + F.coalesce("gain", F.lit(0))).cast("long"))
             .drop("gain")
             .select(*[f.name for f in schemas.FRONTIER.fields])
-        ).localCheckpoint()
-        _t = _tlog("frontier_next", _t)
+        )
+        dels_df = popped.select("url", "attempt")
+        # frontier size is maintained arithmetically in the manifest — no
+        # O(frontier) count job: inserts = reinsertable survivors (from the
+        # fused pop-stats agg below) + scheduled copies of new urls
+        sched_mult = cfg.max_attempts if cfg.fanout_revisits else 1
+        base_round = int(self.store.state("frontier_base_round"))
+        compact = cfg.compact_every > 0 and (r - base_round) >= cfg.compact_every
+        _t = _tlog("frontier_delta", _t)
 
         # ---- hosts state ------------------------------------------------------------
         fetched_hosts = popped.select("host").distinct().withColumn("_f", F.lit(1))
@@ -658,11 +771,11 @@ class CrawlEngine:
 
         def _bloom_task():
             # per-bucket shard versioning: only buckets with new urls get a
-            # shard file this round; readers resolve newest-shard-≤-committed
-            # per bucket (no O(total sidecar bytes) driver copy storm)
+            # shard file this round; readers resolve each bucket via the
+            # manifest map (the superseded file is GC'd after the commit)
             if n_new:
-                upd = make_seen_update_fn(bloom_rounds, st.bloom_dir(r), cfg)
-                (
+                upd = make_seen_update_fn(bucket_paths, st.bloom_dir(r), cfg)
+                return (
                     new_base.select(
                         "url_hash",
                         F.pmod("url_hash", F.lit(cfg.seen_partitions)).alias("bucket"),
@@ -671,6 +784,7 @@ class CrawlEngine:
                     .applyInPandas(upd, "bucket int, added long, overflowed boolean")
                     .collect()
                 )
+            return []
 
         def _pop_stats_task():
             return {
@@ -680,12 +794,14 @@ class CrawlEngine:
                     F.sum((F.col("n_results") > 0).cast("long")).alias("hits"),
                     F.sum("n_results").alias("results"),
                     F.sum(evict_cond.cast("long")).alias("evicted"),
+                    F.sum(
+                        ((~evict_cond) & (~retire_cond)).cast("long")
+                    ).alias("reinsertable"),
                 ).collect()
             }
 
         with ThreadPoolExecutor(max_workers=10) as pool:
             futs = [
-                pool.submit(st.write_round, f_next, "frontier", r),
                 pool.submit(st.write_round, hosts_next, "hosts", r),
                 pool.submit(
                     st.write_round,
@@ -696,7 +812,7 @@ class CrawlEngine:
                     "url_seen", r, ("bucket",),
                 ),
                 pool.submit(st.write_round, edges_new, "edges", r),
-                pool.submit(st.write_round, docs_new, "docs", r),
+                pool.submit(st.write_round, docs_new, "docs", r, ("bucket",)),
                 pool.submit(
                     st.write_round,
                     popped.select(
@@ -707,24 +823,84 @@ class CrawlEngine:
                 ),
                 pool.submit(st.write_round, evictions, "evictions", r),
             ]
-            if self.use_filters:
-                futs.append(pool.submit(_bloom_task))
+            if not compact:
+                # the O(batch) delta — the whole per-round frontier write
+                futs += [
+                    pool.submit(st.write_round, dels_df, "frontier_del", r),
+                    pool.submit(
+                        st.write_round,
+                        ins_rows.withColumn("band", self._band()),
+                        "frontier_ins", r, ("band",),
+                    ),
+                    pool.submit(st.write_round, gains_u, "frontier_gains", r),
+                ]
+            fut_bloom = pool.submit(_bloom_task) if self.use_filters else None
             fut_stats = pool.submit(_pop_stats_task)
-            fut_count = pool.submit(f_next.count)
             for f in futs:
                 f.result()
             pop_stats = fut_stats.result()
-            frontier_n = fut_count.result()
+            bloom_rows = fut_bloom.result() if fut_bloom is not None else []
         n_evicted = sum(int(row["evicted"]) for row in pop_stats.values())
+        if cfg.crawl_once or cfg.fanout_revisits:
+            n_reinserted = 0
+        else:
+            n_reinserted = sum(int(row["reinsertable"]) for row in pop_stats.values())
+        n_ins = n_reinserted + n_new * sched_mult
+        frontier_n = int(st.state("frontier_count")) - n_popped + n_ins
+        new_state: dict = {"frontier_count": frontier_n}
         _t = _tlog("writes_parallel", _t)
+
+        # ---- compaction (Iceberg rewrite_data_files analog) -------------------
+        # every compact_every rounds: fold the sidecar logs into a fresh
+        # banded base and merge the loop-read logs into one generation dir,
+        # so sidecar broadcast size, dir listings and dead-row carry stay
+        # O(K) — amortized cost 1/K of a full rewrite per round
+        if compact:
+            pending = self._frontier_live(prev).join(
+                F.broadcast(dels_df), ["url", "attempt"], "left_anti"
+            )
+            f_base = (
+                pending.join(gains_u, "url", "left")
+                .withColumn(
+                    "score",
+                    (F.col("score") + F.coalesce("gain", F.lit(0))).cast("long"),
+                )
+                .drop("gain")
+                .select(*[f.name for f in schemas.FRONTIER.fields])
+                .unionByName(ins_rows)
+            )
+            st.write_round(
+                f_base.withColumn("band", self._band()), "frontier", r,
+                partition_by=("band",),
+            )
+            log_base = dict(st.state("log_base", {}))
+            for tbl, pby in (("url_seen", ("bucket",)), ("docs", ("bucket",)),
+                             ("edges", None)):
+                merged = st.read_log(s, tbl, r)
+                if merged is not None:
+                    st.write_gen(merged, tbl, r, partition_by=pby)
+                    log_base[tbl] = r
+            new_state["frontier_base_round"] = r
+            new_state["log_base"] = log_base
+            _t = _tlog("compaction", _t)
+
+        # bloom manifest map: buckets whose shard this round replaced
+        bloom_touch = [int(row["bucket"]) for row in bloom_rows]
+        old_map = st.bloom_map()
+        superseded = {b: old_map[b] for b in bloom_touch if b in old_map}
+        if bloom_touch:
+            bm = {str(k): v for k, v in old_map.items()}
+            bm.update({str(b): r for b in bloom_touch})
+            new_state["bloom_map"] = bm
 
         # ---- per-partition lineage + metrics --------------------------------------
         wall_ms = int((time.time() - t0) * 1000)
         lineage = json.dumps(
             {
                 "round": r,
-                "inputs": [st.round_dir("frontier", prev), self.pages_path],
-                "bloom": bloom_rounds if self.use_filters else None,
+                "inputs": [st.round_dir("frontier", base_round), self.pages_path],
+                "frontier_logs_since": base_round,
+                "bloom_buckets": len(bucket_paths) if self.use_filters else None,
             }
         )
         # pop_stats / new_stats were collected above (fused jobs) — pure
@@ -764,14 +940,27 @@ class CrawlEngine:
                 "new_urls": n_new,
                 "frontier": frontier_n,
                 "wall_ms": wall_ms,
+                "compacted": compact,
             },
+            state=new_state,
         )
+        # ---- post-commit GC (idempotent: only removes data the committed
+        # manifest can no longer reference) -------------------------------------
+        if superseded:
+            st.gc_bloom(superseded)
+        if compact:
+            st.gc_rounds_below("frontier", r)
+            for tbl in ("frontier_ins", "frontier_del", "frontier_gains",
+                        "url_seen", "docs", "edges"):
+                st.gc_rounds_below(tbl, r + 1)
+            for tbl in ("url_seen", "docs", "edges"):
+                st.gc_gens_below(tbl, r)
         # free this round's localCheckpoint blocks eagerly — durability lives
         # in the snapshot store; relying on GC/ContextCleaner lets executor
         # storage accumulate across a long crawl
         for df in (
             ranged, popped, fetched, res, outlinks, flagged, new_urls,
-            popped_res, f_next, hosts_next, hosts,
+            popped_res, hosts_next, hosts,
         ):
             df.unpersist()
         return frontier_n
@@ -790,7 +979,9 @@ class CrawlEngine:
         return self.store.read_log(self.spark, "edges", self.store.committed_round())
 
     def docs(self) -> DataFrame:
-        return self.store.read_log(self.spark, "docs", self.store.committed_round())
+        return self.store.read_log(
+            self.spark, "docs", self.store.committed_round()
+        ).drop("bucket")
 
     def evictions(self) -> DataFrame:
         return self.store.read_log(self.spark, "evictions", self.store.committed_round())

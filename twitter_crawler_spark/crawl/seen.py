@@ -19,12 +19,15 @@ three-tier membership test sharded by ``murmur3_64(url) % P``:
 Shards are loaded *per bucket inside executor tasks* (``applyInPandas`` over
 a bucket-grouped DataFrame), so at 10^10 urls each task touches only its own
 ~MBs-sized sidecar, never a global structure. Sidecars are versioned per
-bucket: round k writes ``bloom/r=k/bucket=N.npz`` ONLY for buckets k touched,
-and a reader resolves each bucket to its newest shard ≤ the committed round
-(``SnapshotStore.bloom_round_dirs``) — no copy-forward of untouched shards
-(at 10^5 shards a per-round driver copy storm), and resume still always reads
+bucket: round k writes ``bloom/r=k/bucket=N.npz`` ONLY for buckets k
+touched, and a reader resolves each bucket through the committed manifest's
+``bloom_map`` (bucket → newest round, one dict lookup — O(1) per bucket
+regardless of crawl length, no copy-forward of untouched shards and no
+newest-first filesystem probing). Superseded shard files are GC'd after each
+commit, so the sidecar tree stays O(#buckets) files. Resume always reads
 filters consistent with the committed snapshot (SURVEY.md §7 hard part 3):
-uncommitted round dirs are removed by ``clean_uncommitted`` before any read.
+the map lives in the atomically-replaced manifest, and uncommitted round
+dirs are removed by ``clean_uncommitted`` before any read.
 """
 
 from __future__ import annotations
@@ -187,28 +190,19 @@ def shard_path(bloom_dir: str, bucket: int) -> str:
     return os.path.join(bloom_dir, f"bucket={bucket}.npz")
 
 
-def resolve_shard(round_dirs_desc: list[str], bucket: int) -> str | None:
-    """Newest shard file for ``bucket`` among the given round dirs (which the
-    caller orders newest-first, already filtered to committed rounds). O(#
-    rounds) existence probes per task, zero shard copies per round."""
-    for d in round_dirs_desc:
-        p = shard_path(d, bucket)
-        if os.path.exists(p):
-            return p
-    return None
-
-
-def make_seen_check_fn(round_dirs_desc: list[str]):
+def make_seen_check_fn(bucket_paths: dict[int, str]):
     """applyInPandas fn over candidates grouped by ``bucket``: classify each
     candidate as 0 = bloom-negative (definitely new), 1 = cuckoo-negative
-    (new), 2 = needs the exact anti-join. A bucket with no shard yet has an
-    empty filter → everything is definitely new."""
+    (new), 2 = needs the exact anti-join. ``bucket_paths`` is the committed
+    manifest's bucket → shard-file map (SnapshotStore.bloom_paths) — one dict
+    lookup per bucket, no filesystem probing. A bucket with no shard yet has
+    an empty filter → everything is definitely new."""
 
     def check(pdf: pd.DataFrame) -> pd.DataFrame:
         flags = np.full(len(pdf), 2, np.int32)
         if len(pdf):
             bucket = int(pdf["bucket"].iloc[0])
-            p = resolve_shard(round_dirs_desc, bucket)
+            p = bucket_paths.get(bucket)
             if p is not None:
                 shard = SeenShard.load(p)
                 h = pdf["url_hash"].to_numpy(np.int64)
@@ -227,15 +221,16 @@ def make_seen_check_fn(round_dirs_desc: list[str]):
     return check
 
 
-def make_seen_update_fn(round_dirs_desc: list[str], new_bloom_dir: str, cfg):
-    """applyInPandas fn over NEW urls grouped by ``bucket``: resolve the
-    bucket's newest committed sidecar, add the new hashes, write this round's
-    shard for JUST this bucket. Runs inside executor tasks — each task touches
-    one shard file; untouched buckets get no new file this round."""
+def make_seen_update_fn(bucket_paths: dict[int, str], new_bloom_dir: str, cfg):
+    """applyInPandas fn over NEW urls grouped by ``bucket``: load the
+    bucket's committed sidecar (manifest map lookup), add the new hashes,
+    write this round's shard for JUST this bucket. Runs inside executor
+    tasks — each task touches one shard file; untouched buckets get no new
+    file this round, and the superseded file is GC'd after the commit."""
 
     def update(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
-        prev = resolve_shard(round_dirs_desc, bucket)
+        prev = bucket_paths.get(bucket)
         if prev is not None:
             shard = SeenShard.load(prev)
         else:

@@ -1,4 +1,4 @@
-"""Iceberg-style snapshot store on parquet.
+"""Iceberg-style snapshot store on parquet, with merge-on-read state.
 
 The sandbox has no Iceberg runtime jar (no network), so this module provides
 the same *semantics* on plain parquet + an atomically-replaced JSON manifest:
@@ -12,12 +12,28 @@ the same *semantics* on plain parquet + an atomically-replaced JSON manifest:
 * readers always filter partition ``r <= committed_round`` so half-written
   rounds are invisible — resume after a crash re-runs the uncommitted round
   from the last committed state with zero re-fetch of committed rounds;
-* state tables (``frontier``, ``hosts``) are full rewrites per round (the
-  MERGE analog); log tables (``url_seen``, ``edges``, ``docs``, ``crawl_log``,
-  ``round_metrics``) are per-round appends.
+* the **frontier is merge-on-read** (the Iceberg MERGE / delete-file
+  analog): a banded base (``frontier/r=<g>/band=<B>`` where band =
+  next_fetch_ts div band_ticks) plus per-round sidecar logs —
+  ``frontier_ins`` (inserted rows, banded), ``frontier_del`` (popped
+  (url, attempt) keys ≡ equality-delete files), ``frontier_gains`` (pending
+  OPIC cash). A round writes only its O(batch) delta; the live view is
+  base ∪ ins ∖ del with gains folded at read time. Periodic compaction
+  (``CrawlConfig.compact_every``) rewrites the base and truncates the logs,
+  exactly Iceberg's rewrite_data_files maintenance action;
+* append-only logs that the round loop reads (``url_seen``, ``docs``,
+  ``edges``) are periodically merged into one **generation** dir
+  (``<table>/gen=<g>``) recorded in the manifest, so the per-round dir list
+  stays O(rounds-since-compaction), not O(total rounds);
+* the bloom/cuckoo sidecar for each bucket is resolved through the
+  manifest's ``bloom_map`` (bucket → newest committed round that wrote that
+  bucket's shard) — O(1) per bucket, no newest-first filesystem probing;
+* ``hosts`` stays a small full-rewrite state table.
 
 On a real cluster this class is swapped for ``spark.table("cat.db.t")`` +
-Iceberg ``MERGE INTO`` / snapshot IDs; the engine only touches this interface.
+Iceberg ``MERGE INTO`` / snapshot IDs; the engine only touches this
+interface. All paths must be on a shared filesystem for a multi-node master
+(enforced by ``engine.require_shared_state``).
 """
 
 from __future__ import annotations
@@ -30,7 +46,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STATE_TABLES = ("frontier", "hosts")
-LOG_TABLES = ("url_seen", "edges", "docs", "crawl_log", "round_metrics", "evictions")
+LOG_TABLES = (
+    "url_seen", "edges", "docs", "crawl_log", "round_metrics", "evictions",
+    "frontier_ins", "frontier_del", "frontier_gains",
+)
+# loop-read logs that compaction merges into a generation dir
+COMPACTED_LOGS = ("url_seen", "docs", "edges")
 
 
 class SnapshotStore:
@@ -55,22 +76,37 @@ class SnapshotStore:
         m = self.manifest()
         return None if m is None else m["committed_round"]
 
-    def commit(self, round_: int, info: dict | None = None) -> None:
-        """Atomic snapshot commit — the round's outputs become visible."""
-        m = self.manifest() or {"history": []}
+    def state(self, key: str, default=None):
+        """Structured snapshot state carried by the manifest (base rounds,
+        counts, the bloom bucket map) — updated atomically with the commit."""
+        m = self.manifest() or {}
+        return m.get("state", {}).get(key, default)
+
+    def commit(self, round_: int, info: dict | None = None,
+               state: dict | None = None) -> None:
+        """Atomic snapshot commit — the round's outputs become visible, and
+        the structured state (``state`` keys replace previous values) with
+        them. Nothing written this round is readable before this replace."""
+        m = self.manifest() or {"history": [], "state": {}}
         m["committed_round"] = round_
         m["history"] = m.get("history", []) + [
             {"round": round_, **(info or {})}
         ]
+        st = m.get("state", {})
+        st.update(state or {})
+        m["state"] = st
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)
 
-    # --- paths ---------------------------------------------------------------
+    # --- paths ------------------------------------------------------------
 
     def round_dir(self, table: str, round_: int) -> str:
         return os.path.join(self.root, table, f"r={round_}")
+
+    def gen_dir(self, table: str, round_: int) -> str:
+        return os.path.join(self.root, table, f"gen={round_}")
 
     @property
     def bloom_root(self) -> str:
@@ -79,23 +115,45 @@ class SnapshotStore:
     def bloom_dir(self, round_: int) -> str:
         return os.path.join(self.bloom_root, f"r={round_}")
 
-    def bloom_round_dirs(self, upto_round: int) -> list[str]:
-        """Bloom round dirs with r <= upto_round, NEWEST FIRST — the per-bucket
-        shard resolution order. Each round dir holds sidecars only for the
-        buckets that round actually touched; a bucket's current filter is its
-        newest shard ≤ the committed round (no copy-forward of untouched
-        shards). Driver cost is one listdir of the root (O(#rounds)); the
-        per-bucket file probe happens inside executor tasks."""
-        root = self.bloom_root
-        if not os.path.isdir(root):
-            return []
-        ks = sorted(
-            (int(d.split("=", 1)[1]) for d in os.listdir(root) if d.startswith("r=")),
-            reverse=True,
-        )
-        return [os.path.join(root, f"r={k}") for k in ks if k <= upto_round]
+    # --- bloom sidecar resolution (manifest map, O(1) per bucket) ---------
 
-    # --- write -----------------------------------------------------------------
+    def bloom_map(self) -> dict[int, int]:
+        """bucket → newest committed round holding that bucket's shard."""
+        return {int(k): int(v) for k, v in self.state("bloom_map", {}).items()}
+
+    def bloom_paths(self) -> dict[int, str]:
+        """bucket → shard file path, resolved from the committed manifest.
+        One dict lookup per bucket inside executor tasks — no O(#rounds)
+        newest-first existence probing, no driver listdir of the history."""
+        from twitter_crawler_spark.crawl.seen import shard_path
+
+        return {
+            b: shard_path(self.bloom_dir(rd), b)
+            for b, rd in self.bloom_map().items()
+        }
+
+    def gc_bloom(self, superseded: dict[int, int]) -> int:
+        """Delete shard files that a newly COMMITTED round replaced (the old
+        shard is a strict subset — bloom/cuckoo adds are monotone). Keeps the
+        sidecar tree at O(#buckets) files for the whole crawl. Idempotent and
+        crash-safe: only dead files are touched, after the commit."""
+        from twitter_crawler_spark.crawl.seen import shard_path
+
+        removed = 0
+        for bucket, old_round in superseded.items():
+            p = shard_path(self.bloom_dir(old_round), bucket)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        # drop bloom round dirs emptied by shard GC
+        if os.path.isdir(self.bloom_root):
+            for d in os.listdir(self.bloom_root):
+                full = os.path.join(self.bloom_root, d)
+                if d.startswith("r=") and os.path.isdir(full) and not os.listdir(full):
+                    os.rmdir(full)
+        return removed
+
+    # --- write ------------------------------------------------------------
 
     def write_round(
         self,
@@ -111,30 +169,113 @@ class SnapshotStore:
         w.parquet(path)
         return path
 
-    # --- read --------------------------------------------------------------------
+    def write_gen(
+        self,
+        df: DataFrame,
+        table: str,
+        round_: int,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> str:
+        """Write a compaction generation (merge of all rounds ≤ round_)."""
+        path = self.gen_dir(table, round_)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return path
 
-    def read_state(self, spark: SparkSession, table: str, round_: int) -> DataFrame:
-        return spark.read.parquet(self.round_dir(table, round_))
+    # --- read -------------------------------------------------------------
+
+    def _round_dirs(self, table: str) -> list[tuple[int, str]]:
+        troot = os.path.join(self.root, table)
+        if not os.path.isdir(troot):
+            return []
+        out = []
+        for d in os.listdir(troot):
+            if d.startswith("r="):
+                out.append((int(d.split("=", 1)[1]), os.path.join(troot, d)))
+        return sorted(out)
+
+    def read_rounds(
+        self,
+        spark: SparkSession,
+        table: str,
+        upto_round: int,
+        min_round: int | None = None,
+        drop_r: bool = True,
+    ) -> DataFrame | None:
+        """Union of per-round appends with ``min_round <= r <= upto_round``
+        (partition column ``r`` from the layout). The caller bounds
+        ``min_round`` (e.g. to the frontier base round) so the scan lists and
+        reads O(rounds-since-compaction) dirs, never the full history."""
+        root = os.path.join(self.root, table)
+        dirs = [
+            p for k, p in self._round_dirs(table)
+            if k <= upto_round and (min_round is None or k >= min_round)
+        ]
+        if not dirs:
+            return None
+        df = spark.read.option("basePath", root).parquet(*dirs)
+        df = df.filter(F.col("r") <= upto_round)
+        if min_round is not None:
+            df = df.filter(F.col("r") >= min_round)
+        return df.drop("r") if drop_r else df
 
     def read_log(
         self, spark: SparkSession, table: str, upto_round: int
     ) -> DataFrame | None:
-        """Union of committed appends (partition column ``r`` from the layout)."""
-        root = os.path.join(self.root, table)
-        if not os.path.isdir(root) or not any(
-            d.startswith("r=") for d in os.listdir(root)
-        ):
-            return None
-        df = spark.read.option("basePath", root).parquet(root)
-        return df.filter(F.col("r") <= upto_round).drop("r")
+        """Current view of an append-only log: the compaction generation (if
+        the manifest records one for this table) plus the rounds after it.
+        The generation dir holds every row with r ≤ gen, so the listing and
+        the file count stay O(rounds-since-compaction)."""
+        gen = self.state("log_base", {}).get(table)
+        if gen is None:
+            return self.read_rounds(spark, table, upto_round)
+        gen = int(gen)
+        gdir = self.gen_dir(table, gen)
+        gdf = spark.read.option("basePath", gdir).parquet(gdir)
+        tail = self.read_rounds(spark, table, upto_round, min_round=gen + 1)
+        return gdf if tail is None else gdf.unionByName(tail)
 
-    # --- recovery ---------------------------------------------------------------
+    def read_state(self, spark: SparkSession, table: str, round_: int) -> DataFrame:
+        return spark.read.parquet(self.round_dir(table, round_))
+
+    # --- GC (post-commit, idempotent) -------------------------------------
+
+    def gc_rounds_below(self, table: str, min_round: int) -> list[str]:
+        """Delete ``r=<k>`` dirs with k < min_round — rounds folded into a
+        committed generation / base. Post-commit only; readers already
+        exclude these dirs via the manifest pointers, so a crash mid-GC just
+        leaves dead bytes for the next GC pass."""
+        removed = []
+        for k, p in self._round_dirs(table):
+            if k < min_round:
+                shutil.rmtree(p)
+                removed.append(p)
+        return removed
+
+    def gc_gens_below(self, table: str, min_round: int) -> list[str]:
+        """Delete superseded generation dirs (gen < the manifest's)."""
+        troot = os.path.join(self.root, table)
+        removed = []
+        if not os.path.isdir(troot):
+            return removed
+        for d in os.listdir(troot):
+            if d.startswith("gen=") and int(d.split("=", 1)[1]) < min_round:
+                p = os.path.join(troot, d)
+                shutil.rmtree(p)
+                removed.append(p)
+        return removed
+
+    # --- recovery ---------------------------------------------------------
 
     def clean_uncommitted(self) -> list[str]:
-        """Drop round directories newer than the committed round (crash debris).
+        """Drop round/generation directories newer than the committed round
+        (crash debris).
 
         This is what makes resume idempotent: an interrupted round leaves
-        orphan ``r=k`` dirs that the manifest never referenced.
+        orphan ``r=k`` (or compaction ``gen=k``) dirs that the manifest never
+        referenced.
         """
         committed = self.committed_round()
         removed = []
@@ -143,7 +284,7 @@ class SnapshotStore:
             if not os.path.isdir(troot):
                 continue
             for d in os.listdir(troot):
-                if not d.startswith("r="):
+                if not (d.startswith("r=") or d.startswith("gen=")):
                     continue
                 k = int(d.split("=", 1)[1])
                 if committed is None or k > committed:
