@@ -122,7 +122,7 @@ def main() -> None:
     print(json.dumps(section))
     path = os.path.join(REPO, "BENCH_SCALING.json")
     data = json.load(open(path)) if os.path.exists(path) else {}
-    data["frontier_write_stats"] = section
+    data[f"frontier_write_stats_{pages}"] = section
     with open(path, "w") as f:
         json.dump(data, f, indent=2)
 
