@@ -28,6 +28,13 @@ VARIANTS = {
         TEST_CFG, seq_range_partitions=3, host_salt=2, seen_partitions=4,
         max_rounds=4,
     ),
+    # merge-on-read layout geometry: one band per round tick (finest
+    # pruning) + compaction every 2 rounds — storage layout knobs that must
+    # be invisible to the crawl semantics (the oracle has no notion of
+    # bands, sidecar logs, or compaction)
+    "fine_bands_frequent_compaction": dataclasses.replace(
+        TEST_CFG, frontier_band_rounds=1, compact_every=2, max_rounds=5,
+    ),
 }
 
 
