@@ -29,11 +29,14 @@ VARIANTS = {
         max_rounds=4,
     ),
     # merge-on-read layout geometry: one band per round tick (finest
-    # pruning) + compaction every 2 rounds — storage layout knobs that must
-    # be invisible to the crawl semantics (the oracle has no notion of
-    # bands, sidecar logs, or compaction)
+    # pruning), compaction every 2 rounds, and a 2-generation cap so the
+    # run exercises minor folds AND a major (size-tiered) merge — storage
+    # layout knobs that must be invisible to the crawl semantics (the
+    # oracle has no notion of bands, sidecar logs, generations, or
+    # compaction)
     "fine_bands_frequent_compaction": dataclasses.replace(
-        TEST_CFG, frontier_band_rounds=1, compact_every=2, max_rounds=5,
+        TEST_CFG, frontier_band_rounds=1, compact_every=2, max_log_gens=2,
+        max_rounds=7,
     ),
 }
 

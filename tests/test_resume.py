@@ -100,10 +100,19 @@ def test_resume_across_compaction_boundary(spark, fixture_dir, tmp_path_factory)
     frontier_dirs = sorted(os.listdir(os.path.join(one, "frontier")))
     assert frontier_dirs == [f"r={base}"]
     seen_dirs = sorted(os.listdir(os.path.join(one, "url_seen")))
-    assert f"gen={eng1.store.state('log_base')['url_seen']}" in seen_dirs
+    seen_gens = eng1.store.log_gens("url_seen")
+    assert seen_gens, "url_seen compacted at least once"
+    for g in seen_gens:
+        assert f"gen={g}" in seen_dirs
     assert all(
         not d.startswith("r=") or int(d.split("=")[1]) > base for d in seen_dirs
     )
+    # leveled compaction: the generations cover disjoint round ranges and no
+    # stray gen dirs survive outside the manifest list
+    assert seen_gens == sorted(set(seen_gens))
+    assert {d for d in seen_dirs if d.startswith("gen=")} == {
+        f"gen={g}" for g in seen_gens
+    }
 
 
 def test_uncommitted_debris_discarded(spark, fixture_dir, tmp_path_factory):

@@ -98,6 +98,13 @@ class CrawlConfig:
     # rounds (0 disables compaction); bounds sidecar-resolution and
     # listing costs to O(K), amortized rewrite cost to 1/K per round
     compact_every: int = 8
+    # leveled compaction for the append-only logs (url_seen/docs/edges): a
+    # MINOR compaction folds only the K-round tail into a NEW generation dir
+    # (O(batch·K) bytes — it never rewrites the ever-growing history); once a
+    # table holds this many generations the next compaction is MAJOR and
+    # merges them into one (LSM size-tiering: the O(total) rewrite happens
+    # every max_log_gens * compact_every rounds instead of every K)
+    max_log_gens: int = 4
 
     def __post_init__(self) -> None:
         # Both the engine's schedule (intervals[:max_attempts] under fan-out)

@@ -18,8 +18,10 @@ Round r (logical clock ``t_r = r * round_tick``), all stages DataFrame-native:
              at read, and the due scan partition-prunes to due
              next_fetch_ts bands                                          F1/F3/F4/A15
   compact  = every K rounds fold the sidecars into a fresh banded base
-             and merge url_seen/docs/edges into one generation dir
-             (Iceberg rewrite_data_files analog) — amortized 1/K
+             and fold url_seen/docs/edges round tails into leveled
+             generation dirs — minor folds are O(batch·K); a major merge
+             (every max_log_gens folds, LSM size-tiering) is the only
+             O(history) rewrite (Iceberg rewrite_data_files analog)
   commit   = parquet round dirs + versioned bloom sidecars + atomic
              manifest replace (Iceberg snapshot analog)                   C1/C4
 
@@ -293,7 +295,7 @@ class CrawlEngine:
             state={
                 "frontier_base_round": -1,
                 "frontier_count": n0,
-                "log_base": {},
+                "log_gens": {},
                 "bloom_map": bloom_map,
             },
         )
@@ -873,15 +875,34 @@ class CrawlEngine:
                 f_base.withColumn("band", self._band()), "frontier", r,
                 partition_by=("band",),
             )
-            log_base = dict(st.state("log_base", {}))
+            # leveled compaction of the append-only logs: MINOR folds only
+            # the tail rounds since the newest generation (O(batch·K) bytes;
+            # the 10^10-row url_seen history is NOT rewritten every K
+            # rounds), MAJOR (once max_log_gens generations accumulate)
+            # merges them into one — the LSM size-tiering trade: the
+            # O(total) rewrite is amortized over max_log_gens*compact_every
+            # rounds while reads union ≤ max_log_gens+K dirs
+            log_gens = {k: list(v) for k, v in st.state("log_gens", {}).items()}
+            major_done: list[str] = []
             for tbl, pby in (("url_seen", ("bucket",)), ("docs", ("bucket",)),
                              ("edges", None)):
-                merged = st.read_log(s, tbl, r)
-                if merged is not None:
-                    st.write_gen(merged, tbl, r, partition_by=pby)
-                    log_base[tbl] = r
+                gens = log_gens.get(tbl, [])
+                if len(gens) + 1 > cfg.max_log_gens:
+                    merged = st.read_log(s, tbl, r)
+                    if merged is not None:
+                        st.write_gen(merged, tbl, r, partition_by=pby)
+                        log_gens[tbl] = [r]
+                        major_done.append(tbl)
+                else:
+                    tail = st.read_rounds(
+                        s, tbl, r,
+                        min_round=(gens[-1] + 1) if gens else None,
+                    )
+                    if tail is not None:
+                        st.write_gen(tail, tbl, r, partition_by=pby)
+                        log_gens[tbl] = gens + [r]
             new_state["frontier_base_round"] = r
-            new_state["log_base"] = log_base
+            new_state["log_gens"] = log_gens
             _t = _tlog("compaction", _t)
 
         # bloom manifest map: buckets whose shard this round replaced
@@ -953,7 +974,9 @@ class CrawlEngine:
             for tbl in ("frontier_ins", "frontier_del", "frontier_gains",
                         "url_seen", "docs", "edges"):
                 st.gc_rounds_below(tbl, r + 1)
-            for tbl in ("url_seen", "docs", "edges"):
+            # generation dirs are GC'd only after a MAJOR merge supersedes
+            # them; minor compactions leave prior generations live
+            for tbl in major_done:
                 st.gc_gens_below(tbl, r)
         # free this round's localCheckpoint blocks eagerly — durability lives
         # in the snapshot store; relying on GC/ContextCleaner lets executor

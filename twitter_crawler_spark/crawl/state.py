@@ -22,9 +22,14 @@ the same *semantics* on plain parquet + an atomically-replaced JSON manifest:
   (``CrawlConfig.compact_every``) rewrites the base and truncates the logs,
   exactly Iceberg's rewrite_data_files maintenance action;
 * append-only logs that the round loop reads (``url_seen``, ``docs``,
-  ``edges``) are periodically merged into one **generation** dir
-  (``<table>/gen=<g>``) recorded in the manifest, so the per-round dir list
-  stays O(rounds-since-compaction), not O(total rounds);
+  ``edges``) compact into **leveled generations** (``<table>/gen=<g>`` dirs
+  listed in the manifest's ``log_gens``): a minor compaction folds only the
+  rounds since the newest generation into a new one (O(batch·K) bytes — the
+  ever-growing history is NOT rewritten), and once ``max_log_gens``
+  generations accumulate a major compaction merges them into one (LSM
+  size-tiering). Listings stay O(rounds-since-compaction + #generations) and
+  the O(total-history) rewrite is amortized over
+  ``max_log_gens × compact_every`` rounds;
 * the bloom/cuckoo sidecar for each bucket is resolved through the
   manifest's ``bloom_map`` (bucket → newest committed round that wrote that
   bucket's shard) — O(1) per bucket, no newest-first filesystem probing;
@@ -176,7 +181,9 @@ class SnapshotStore:
         round_: int,
         partition_by: tuple[str, ...] | None = None,
     ) -> str:
-        """Write a compaction generation (merge of all rounds ≤ round_)."""
+        """Write a compaction generation dir. A minor compaction's generation
+        holds only the round tail it folded; a major one holds the full
+        merge — which is which is recorded by the manifest's ``log_gens``."""
         path = self.gen_dir(table, round_)
         w = df.write.mode("overwrite")
         if partition_by:
@@ -221,21 +228,36 @@ class SnapshotStore:
             df = df.filter(F.col("r") >= min_round)
         return df.drop("r") if drop_r else df
 
+    def log_gens(self, table: str) -> list[int]:
+        """Committed generation rounds for an append-only log (ascending).
+        Disjoint by construction: gen g covers rounds (prev_gen, g]."""
+        return [int(g) for g in self.state("log_gens", {}).get(table, [])]
+
     def read_log(
         self, spark: SparkSession, table: str, upto_round: int
     ) -> DataFrame | None:
-        """Current view of an append-only log: the compaction generation (if
-        the manifest records one for this table) plus the rounds after it.
-        The generation dir holds every row with r ≤ gen, so the listing and
-        the file count stay O(rounds-since-compaction)."""
-        gen = self.state("log_base", {}).get(table)
-        if gen is None:
-            return self.read_rounds(spark, table, upto_round)
-        gen = int(gen)
-        gdir = self.gen_dir(table, gen)
-        gdf = spark.read.option("basePath", gdir).parquet(gdir)
-        tail = self.read_rounds(spark, table, upto_round, min_round=gen + 1)
-        return gdf if tail is None else gdf.unionByName(tail)
+        """Current view of an append-only log: the leveled generation dirs
+        (disjoint round ranges, manifest ``log_gens``) plus the rounds after
+        the newest one. Listing and file count stay
+        O(#generations + rounds-since-compaction), bounded by
+        ``max_log_gens`` and ``compact_every``."""
+        gens = self.log_gens(table)
+        parts = []
+        for g in gens:
+            gdir = self.gen_dir(table, g)
+            parts.append(spark.read.option("basePath", gdir).parquet(gdir))
+        tail = self.read_rounds(
+            spark, table, upto_round,
+            min_round=(gens[-1] + 1) if gens else None,
+        )
+        if tail is not None:
+            parts.append(tail)
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def read_state(self, spark: SparkSession, table: str, round_: int) -> DataFrame:
         return spark.read.parquet(self.round_dir(table, round_))
