@@ -167,6 +167,23 @@ def main() -> None:
         )
     )
 
+    # 6. the merge-on-read hosts live view: resolved from the base + the
+    # O(batch) hosts_touch/hosts_new sidecar logs — no full-table groupBy
+    # (the last-writer-wins fold is a join against the aggregated TOUCH log,
+    # which is tiny), no window at all. Run one real round first so the
+    # sidecar logs exist and the audited plan is the merged shape.
+    eng.run(max_rounds=1)
+    hosts_plan = _fmt(eng._hosts_live(eng.store.committed_round()))
+    sections.append(
+        (
+            "crawl_hosts_live",
+            hosts_plan,
+            [r"hosts_touch", r"hosts_new"],
+            [UNPARTITIONED_WINDOW, "CartesianProduct"],
+            {},
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by scripts/plan_audit.py)",
            "",
            "Each section lists the physical properties the 100 TB design requires",
@@ -193,7 +210,7 @@ def main() -> None:
         out.append("```\n" + plan.strip()[:4000] + "\n```\n")
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"audited {len(sections)} plans ({len(qs)} catalog queries + 4 engine flows)")
+    print(f"audited {len(sections)} plans ({len(qs)} catalog queries + 5 engine flows)")
     print("FAILURES:", failures or "none")
     sys.exit(1 if failures else 0)
 

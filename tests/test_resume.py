@@ -130,3 +130,29 @@ def test_uncommitted_debris_discarded(spark, fixture_dir, tmp_path_factory):
     assert eng2.store.committed_round() == 2
     # the junk file must be gone (round re-ran cleanly)
     assert not os.path.exists(os.path.join(orphan, "part-junk.parquet"))
+
+
+def test_hosts_merge_on_read_equals_fold(spark, fixture_dir, tmp_path_factory):
+    """The hosts live view must be layout-independent: a pure sidecar-log run
+    (compact_every=0, never folds) and a per-round-fold run (compact_every=1,
+    the legacy full-rewrite write pattern) must expose identical hosts rows —
+    the merge-on-read resolution (base ∪ hosts_new, last-writer-wins touch
+    fold) is exactly equivalent to rewriting the table every round."""
+    import dataclasses
+
+    cfg_logs = dataclasses.replace(TEST_CFG, compact_every=0)
+    cfg_fold = dataclasses.replace(TEST_CFG, compact_every=1)
+    s1 = str(tmp_path_factory.mktemp("hosts") / "logs")
+    s2 = str(tmp_path_factory.mktemp("hosts") / "fold")
+    e1 = CrawlEngine(spark, fixture_dir, s1, cfg_logs)
+    e1.run(max_rounds=4)
+    e2 = CrawlEngine(spark, fixture_dir, s2, cfg_fold)
+    e2.run(max_rounds=4)
+    cols = ["host", "budget_per_round", "crawl_delay_rounds", "last_fetch_round"]
+    h1 = sorted(tuple(r[c] for c in cols) for r in e1.hosts_live().collect())
+    h2 = sorted(tuple(r[c] for c in cols) for r in e2.hosts_live().collect())
+    assert h1 == h2
+    # and the log run really did stay on the delta path: no hosts base was
+    # rewritten after init
+    assert sorted(os.listdir(os.path.join(s1, "hosts"))) == ["r=-1"]
+    assert os.path.isdir(os.path.join(s1, "hosts_touch"))

@@ -197,9 +197,18 @@ class CrawlEngine:
         writer folds that round's gains in), so its pending cash is the sum
         of logged gains with round > k — the partition column ``r`` IS the
         per-row gains watermark, no extra schema. The log spans at most
-        ``compact_every`` rounds (compaction truncates it), so it broadcast-
-        joins as a per-url struct list folded by a JVM higher-order function
-        — no shuffle of the frontier itself, ever."""
+        ``compact_every`` rounds (compaction truncates it) and joins as a
+        per-url struct list folded by a JVM higher-order function.
+
+        Join-side choices: the DELETE keys are O(batch x compact_every) by
+        construction (each popped (url, attempt) appears once), so they are
+        force-broadcast. The GAINS list is O(distinct outlink targets x
+        compact_every) — at the design point (10^5-url due slice, mean
+        outdegree ~50) that is tens of millions of rows, far too big to
+        broadcast — so that join is deliberately UNHINTED: Catalyst sees the
+        real parquet leaf sizes and AQE converts to broadcast at sandbox
+        scale while shuffling the (small, band-pruned) due slice against the
+        gains log at design scale, never the 10^10-row frontier itself."""
         st, s = self.store, self.spark
         g = int(st.state("frontier_base_round"))
         base = s.read.option(
@@ -230,11 +239,53 @@ class CrawlEngine:
                 )
             )
             rows = (
-                rows.join(F.broadcast(glist), "url", "left")
+                rows.join(glist, "url", "left")
                 .withColumn("score", (F.col("score") + pend).cast("long"))
                 .drop("_glist")
             )
         return rows.select(*[f.name for f in schemas.FRONTIER.fields])
+
+    def _hosts_live(self, prev: int) -> DataFrame:
+        """Merge-on-read live hosts table as of committed round ``prev`` —
+        the same treatment the frontier got, applied to the second-largest
+        state table (O(#hosts) ~ 10^8 rows at the design point): a base
+        snapshot (``hosts/r=<g>``) plus two per-round O(batch) sidecar logs,
+        ``hosts_new`` (insert-once rows for hosts first discovered that
+        round, with politeness defaults) and ``hosts_touch`` (keys of hosts
+        fetched that round; the partition column ``r`` is the value). A
+        round writes only its delta instead of rewriting all 10^8 rows to
+        bump ``last_fetch_round`` on the ~10^4 hosts it actually touched.
+
+        Resolution is last-writer-wins without a full-table groupBy:
+        ``last_fetch_round`` is monotone (touch rounds > g by construction,
+        base values ≤ g), so a left join against the aggregated touch log
+        (tiny → AQE broadcasts it) and a coalesce reproduce the rewrite
+        exactly. Inserts never collide with base rows because ``hosts_new``
+        is anti-joined against the live view at append time (insert-once)."""
+        st, s = self.store, self.spark
+        g = int(st.state("hosts_base_round", st.state("frontier_base_round")))
+        rows = s.read.parquet(st.round_dir("hosts", g))
+        news = st.read_rounds(s, "hosts_new", prev, min_round=g + 1)
+        if news is not None:
+            rows = rows.unionByName(news)
+        touch = st.read_rounds(
+            s, "hosts_touch", prev, min_round=g + 1, drop_r=False
+        )
+        if touch is not None:
+            latest = touch.groupBy("host").agg(F.max("r").alias("_lfr"))
+            rows = (
+                rows.join(latest, "host", "left")
+                .withColumn(
+                    "last_fetch_round",
+                    F.coalesce(F.col("_lfr").cast("int"), F.col("last_fetch_round")),
+                )
+                .drop("_lfr")
+            )
+        return rows
+
+    def hosts_live(self) -> DataFrame:
+        """Public live-hosts view at the committed snapshot."""
+        return self._hosts_live(self.store.committed_round())
 
     def frontier_live(self) -> DataFrame:
         """Public live-frontier view at the committed snapshot."""
@@ -294,6 +345,7 @@ class CrawlEngine:
             {"seeds": len(self.seeds)},
             state={
                 "frontier_base_round": -1,
+                "hosts_base_round": -1,
                 "frontier_count": n0,
                 "log_gens": {},
                 "bloom_map": bloom_map,
@@ -465,7 +517,7 @@ class CrawlEngine:
         # The due scan partition-prunes to bands ≤ t_r div band_ticks —
         # future-scheduled bands are never read.
         due_live = self._frontier_live(prev, due_band=t_r // cfg.band_ticks)
-        hosts = self.store.read_state(s, "hosts", prev).localCheckpoint()
+        hosts = self._hosts_live(prev).localCheckpoint()
         _t = time.time()
 
         # ---- pop: due filter + crawl-delay + salted per-host budget window ----
@@ -745,16 +797,13 @@ class CrawlEngine:
         compact = cfg.compact_every > 0 and (r - base_round) >= cfg.compact_every
         _t = _tlog("frontier_delta", _t)
 
-        # ---- hosts state ------------------------------------------------------------
-        fetched_hosts = popped.select("host").distinct().withColumn("_f", F.lit(1))
-        hosts_known = (
-            hosts.join(fetched_hosts, "host", "left")
-            .withColumn(
-                "last_fetch_round",
-                F.when(F.col("_f").isNotNull(), F.lit(r)).otherwise(F.col("last_fetch_round")),
-            )
-            .drop("_f")
-        )
+        # ---- hosts delta (merge-on-read) --------------------------------------------
+        # The round never rewrites the hosts table: fetched host keys become
+        # a hosts_touch append (last-writer-wins on the monotone
+        # last_fetch_round), first-seen hosts become a hosts_new append with
+        # politeness defaults (insert-once: the anti-join is against the
+        # live view, so a host row is appended exactly one round).
+        hosts_touch = popped.select("host").distinct()
         hosts_new = (
             new_base.select("host").distinct()
             .join(hosts.select("host"), "host", "left_anti")
@@ -762,7 +811,6 @@ class CrawlEngine:
             .withColumn("crawl_delay_rounds", F.lit(cfg.default_crawl_delay))
             .withColumn("last_fetch_round", F.lit(None).cast("int"))
         )
-        hosts_next = hosts_known.unionByName(hosts_new).localCheckpoint()
 
         # ---- write round outputs + bloom update + remaining stats, all jobs
         # over materialized checkpoints → submitted CONCURRENTLY from driver
@@ -804,7 +852,6 @@ class CrawlEngine:
 
         with ThreadPoolExecutor(max_workers=10) as pool:
             futs = [
-                pool.submit(st.write_round, hosts_next, "hosts", r),
                 pool.submit(
                     st.write_round,
                     new_base.select(
@@ -826,7 +873,7 @@ class CrawlEngine:
                 pool.submit(st.write_round, evictions, "evictions", r),
             ]
             if not compact:
-                # the O(batch) delta — the whole per-round frontier write
+                # the O(batch) delta — the whole per-round frontier + hosts write
                 futs += [
                     pool.submit(st.write_round, dels_df, "frontier_del", r),
                     pool.submit(
@@ -835,6 +882,8 @@ class CrawlEngine:
                         "frontier_ins", r, ("band",),
                     ),
                     pool.submit(st.write_round, gains_u, "frontier_gains", r),
+                    pool.submit(st.write_round, hosts_touch, "hosts_touch", r),
+                    pool.submit(st.write_round, hosts_new, "hosts_new", r),
                 ]
             fut_bloom = pool.submit(_bloom_task) if self.use_filters else None
             fut_stats = pool.submit(_pop_stats_task)
@@ -875,6 +924,20 @@ class CrawlEngine:
                 f_base.withColumn("band", self._band()), "frontier", r,
                 partition_by=("band",),
             )
+            # hosts: fold the live view (as of prev) + this round's delta
+            # into a fresh base; the sidecar logs truncate with it
+            h_base = (
+                hosts.join(
+                    hosts_touch.withColumn("_lfr", F.lit(r)), "host", "left"
+                )
+                .withColumn(
+                    "last_fetch_round",
+                    F.coalesce(F.col("_lfr"), F.col("last_fetch_round")),
+                )
+                .drop("_lfr")
+                .unionByName(hosts_new)
+            )
+            st.write_round(h_base, "hosts", r)
             # leveled compaction of the append-only logs: MINOR folds only
             # the tail rounds since the newest generation (O(batch·K) bytes;
             # the 10^10-row url_seen history is NOT rewritten every K
@@ -902,6 +965,7 @@ class CrawlEngine:
                         st.write_gen(tail, tbl, r, partition_by=pby)
                         log_gens[tbl] = gens + [r]
             new_state["frontier_base_round"] = r
+            new_state["hosts_base_round"] = r
             new_state["log_gens"] = log_gens
             _t = _tlog("compaction", _t)
 
@@ -971,7 +1035,9 @@ class CrawlEngine:
             st.gc_bloom(superseded)
         if compact:
             st.gc_rounds_below("frontier", r)
+            st.gc_rounds_below("hosts", r)
             for tbl in ("frontier_ins", "frontier_del", "frontier_gains",
+                        "hosts_touch", "hosts_new",
                         "url_seen", "docs", "edges"):
                 st.gc_rounds_below(tbl, r + 1)
             # generation dirs are GC'd only after a MAJOR merge supersedes
@@ -983,7 +1049,7 @@ class CrawlEngine:
         # storage accumulate across a long crawl
         for df in (
             ranged, popped, fetched, res, outlinks, flagged, new_urls,
-            popped_res, hosts_next, hosts,
+            popped_res, hosts,
         ):
             df.unpersist()
         return frontier_n

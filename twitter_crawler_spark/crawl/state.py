@@ -33,7 +33,11 @@ the same *semantics* on plain parquet + an atomically-replaced JSON manifest:
 * the bloom/cuckoo sidecar for each bucket is resolved through the
   manifest's ``bloom_map`` (bucket → newest committed round that wrote that
   bucket's shard) — O(1) per bucket, no newest-first filesystem probing;
-* ``hosts`` stays a small full-rewrite state table.
+* ``hosts`` is merge-on-read too (O(#hosts) ~ 10^8 rows at the design
+  point): a base snapshot plus per-round ``hosts_new`` (insert-once rows)
+  and ``hosts_touch`` (fetched host keys; last-writer-wins on the monotone
+  ``last_fetch_round``) sidecar logs, folded into a fresh base by the same
+  periodic compaction.
 
 On a real cluster this class is swapped for ``spark.table("cat.db.t")`` +
 Iceberg ``MERGE INTO`` / snapshot IDs; the engine only touches this
@@ -54,6 +58,7 @@ STATE_TABLES = ("frontier", "hosts")
 LOG_TABLES = (
     "url_seen", "edges", "docs", "crawl_log", "round_metrics", "evictions",
     "frontier_ins", "frontier_del", "frontier_gains",
+    "hosts_touch", "hosts_new",
 )
 # loop-read logs that compaction merges into a generation dir
 COMPACTED_LOGS = ("url_seen", "docs", "edges")
