@@ -37,7 +37,14 @@ the same *semantics* on plain parquet + an atomically-replaced JSON manifest:
   point): a base snapshot plus per-round ``hosts_new`` (insert-once rows)
   and ``hosts_touch`` (fetched host keys; last-writer-wins on the monotone
   ``last_fetch_round``) sidecar logs, folded into a fresh base by the same
-  periodic compaction.
+  periodic compaction. The READ side of hosts stays a full scan per round
+  (the pop path joins budgets/delays to the due slice, and new-host
+  discovery anti-joins against host keys) — deliberately: the scan is
+  O(#hosts), 10^2-10^3 x smaller than the frontier, carries no per-round
+  write amplification, and cannot be key-pruned because the due slice's
+  host set is dense in any hash-bucket layout. The costs that scale with
+  crawl LENGTH (writes, listings, shard probes) are the ones made O(batch)
+  or O(1) above.
 
 On a real cluster this class is swapped for ``spark.table("cat.db.t")`` +
 Iceberg ``MERGE INTO`` / snapshot IDs; the engine only touches this
