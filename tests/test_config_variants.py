@@ -41,6 +41,55 @@ VARIANTS = {
 }
 
 
+def _assert_bounded_listing(eng: CrawlEngine, cfg: CrawlConfig) -> None:
+    """Post-run, post-GC invariant: every table the round loop RE-READS has a
+    file/dir population bounded by the compaction geometry (compact_every K,
+    max_log_gens G) — independent of how many rounds ran. This is the
+    listing/probe-cost contract behind scripts/long_crawl_stats.py's 50-round
+    receipt, pinned here on every compacting test run for free (pure
+    filesystem asserts; crawl_log/evictions/round_metrics are append-only
+    OUTPUT logs the loop never lists, so they are exempt by design)."""
+    import os
+
+    st = eng.store
+    r_final = st.committed_round()
+    base = int(st.state("frontier_base_round"))
+    since_base = r_final - base
+    assert since_base < cfg.compact_every  # compaction actually ran on time
+
+    def round_dirs(tbl: str) -> list[int]:
+        return [k for k, _ in st._round_dirs(tbl)]
+
+    # base tables: exactly the one base snapshot dir survives GC
+    assert round_dirs("frontier") == [base]
+    assert round_dirs("hosts") == [int(st.state("hosts_base_round"))]
+    # sidecar logs: only rounds after the base fold
+    for tbl in ("frontier_ins", "frontier_del", "frontier_gains",
+                "hosts_new", "hosts_touch"):
+        rs = round_dirs(tbl)
+        assert len(rs) <= since_base and all(k > base for k in rs), (tbl, rs)
+    # leveled logs: <= G generation dirs + the tail rounds since the newest
+    gens = st.state("log_gens", {})
+    for tbl in ("url_seen", "docs", "edges"):
+        g = [int(x) for x in gens.get(tbl, [])]
+        troot = os.path.join(st.root, tbl)
+        gen_dirs = [d for d in os.listdir(troot) if d.startswith("gen=")] \
+            if os.path.isdir(troot) else []
+        assert len(g) <= cfg.max_log_gens, (tbl, g)
+        assert sorted(gen_dirs) == sorted(f"gen={k}" for k in g), (tbl, gen_dirs)
+        rs = round_dirs(tbl)
+        newest = g[-1] if g else base
+        assert all(k > newest for k in rs) and len(rs) <= since_base, (tbl, rs)
+    # bloom sidecar: O(#buckets) files, every one referenced by the manifest
+    # map (superseded shards are GC'd per commit)
+    on_disk = set()
+    for root, _dirs, files in os.walk(st.bloom_root):
+        on_disk.update(os.path.join(root, f) for f in files)
+    referenced = set(st.bloom_paths().values())
+    assert on_disk == referenced, (on_disk - referenced, referenced - on_disk)
+    assert len(on_disk) <= cfg.seen_partitions
+
+
 @pytest.mark.parametrize("name", sorted(VARIANTS))
 def test_variant_matches_oracle(spark, fixture_dir, tmp_path_factory, name):
     cfg = VARIANTS[name]
@@ -48,6 +97,9 @@ def test_variant_matches_oracle(spark, fixture_dir, tmp_path_factory, name):
     state = str(tmp_path_factory.mktemp(f"var_{name}") / "s")
     eng = CrawlEngine(spark, fixture_dir, state, cfg)
     eng.run()
+    if int(eng.store.state("frontier_base_round", -1)) >= 0:
+        # at least one compaction folded during this run
+        _assert_bounded_listing(eng, cfg)
     got = [
         (r.round, r.seq, r.url, r.depth, r.score, r.attempt)
         for r in eng.crawl_log().orderBy("round", "seq").collect()

@@ -156,3 +156,26 @@ def test_hosts_merge_on_read_equals_fold(spark, fixture_dir, tmp_path_factory):
     # rewritten after init
     assert sorted(os.listdir(os.path.join(s1, "hosts"))) == ["r=-1"]
     assert os.path.isdir(os.path.join(s1, "hosts_touch"))
+
+
+def test_read_rounds_skips_schema_less_empty_dirs(spark, tmp_path_factory):
+    """A zero-row PARTITIONED write leaves a round dir with only _SUCCESS —
+    no part file, no schema. On a long crawl a table goes quiet for a whole
+    compaction window (docs once first-fetches dry up), so the tail can be
+    ALL such dirs; reading it must yield None, not an AnalysisException
+    (found by scripts/long_crawl_stats.py at round ~24 of a 50-round run)."""
+    from twitter_crawler_spark.crawl.state import SnapshotStore
+
+    st = SnapshotStore(str(tmp_path_factory.mktemp("state") / "s"))
+    empty = spark.range(0).selectExpr("id as url", "id % 4 as bucket")
+    st.write_round(empty, "docs", 3, ("bucket",))
+    st.write_round(empty, "docs", 4, ("bucket",))
+    assert st.read_rounds(spark, "docs", 4) is None
+    assert st.read_log(spark, "docs", 4) is None
+    # a mixed tail (one quiet round, one data-bearing) still unions fine
+    st.write_round(
+        spark.range(2).selectExpr("id as url", "id % 4 as bucket"),
+        "docs", 5, ("bucket",),
+    )
+    got = st.read_rounds(spark, "docs", 5)
+    assert got is not None and got.count() == 2

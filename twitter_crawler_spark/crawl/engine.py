@@ -1013,7 +1013,10 @@ class CrawlEngine:
                 wall_ms, lineage,
             )
         )
-        metrics_df = self.spark.createDataFrame(rows, schemas.ROUND_METRICS)
+        # one file: the frame is O(#partitions) rows of counters by
+        # construction — without the coalesce, createDataFrame's default
+        # parallelism writes ~8 part files per round for a few KB
+        metrics_df = self.spark.createDataFrame(rows, schemas.ROUND_METRICS).coalesce(1)
         st.write_round(metrics_df, "round_metrics", r)
         _t = _tlog("metrics", _t)
 

@@ -71,6 +71,15 @@ LOG_TABLES = (
 COMPACTED_LOGS = ("url_seen", "docs", "edges")
 
 
+def _has_data_files(path: str) -> bool:
+    """True if any non-metadata file (not ``_SUCCESS``/``.crc``) exists under
+    ``path`` — i.e. the parquet dir actually carries rows + schema."""
+    for _root, _dirs, files in os.walk(path):
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
+
+
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
@@ -180,6 +189,14 @@ class SnapshotStore:
         partition_by: tuple[str, ...] | None = None,
     ) -> str:
         path = self.round_dir(table, round_)
+        if partition_by:
+            # hash-distribute on the partition columns before the write
+            # (Iceberg write.distribution-mode=hash analog): without it every
+            # write task can emit a file into every partition dir — at the
+            # design point (10^3 executors × 512 buckets) that is ~10^5-10^6
+            # files per round dir, a metadata-layer killer. One tiny extra
+            # shuffle (AQE coalesces it) caps files at ~1 per partition value.
+            df = df.repartition(*partition_by)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -197,6 +214,10 @@ class SnapshotStore:
         holds only the round tail it folded; a major one holds the full
         merge — which is which is recorded by the manifest's ``log_gens``."""
         path = self.gen_dir(table, round_)
+        if partition_by:
+            # same hash distribution as write_round — a MAJOR merge rewrites
+            # the whole log, exactly where stray per-task files multiply most
+            df = df.repartition(*partition_by)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -232,6 +253,13 @@ class SnapshotStore:
             p for k, p in self._round_dirs(table)
             if k <= upto_round and (min_round is None or k >= min_round)
         ]
+        # A zero-row PARTITIONED write leaves a round dir holding only
+        # _SUCCESS (no part file, hence no schema): on a long crawl a table
+        # can go quiet for a whole compaction window (e.g. docs once
+        # first-fetches dry up), making every listed dir schema-less and
+        # crashing inference. Data-bearing dirs carry the schema for the
+        # union, so empty ones are skippable outright.
+        dirs = [p for p in dirs if _has_data_files(p)]
         if not dirs:
             return None
         df = spark.read.option("basePath", root).parquet(*dirs)
