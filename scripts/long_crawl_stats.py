@@ -10,8 +10,8 @@ Protocol: one 50-round crawl on a 2000-page fixture with a stretched
 revisit schedule (11 attempts, cumulative offsets 0,1,3,6,...,45 rounds) so
 the frontier stays busy the whole way. The engine is stepped ONE ROUND AT A
 TIME via the resume path (run(max_rounds=r+1) re-opens from the committed
-snapshot — also exercising resume 50x across 6 minor + 1 major compaction
-boundaries), and after each commit the script samples:
+snapshot — also exercising resume 50x across 12 minor + 2 size-tiered major
+compaction boundaries), and after each commit the script samples:
 
   * files/dirs under every state table (url_seen, docs, edges, frontier_*,
     hosts_*, crawl_log, ...) and under the bloom sidecar root;
@@ -192,8 +192,8 @@ def main() -> None:
     result = {
         "protocol": (
             "one 50-round crawl, engine re-opened from the committed snapshot "
-            "every round (resume path 50x, crossing 6 minor + 1 major "
-            "compaction boundary); per-round file/dir counts are the "
+            "every round (resume path 50x, crossing 12 minor + 2 size-tiered major "
+            "compaction boundaries); per-round file/dir counts are the "
             "deterministic listing/probe-cost receipt, walls are weather; "
             "identical crawl counters assert compaction changes layout only"
         ),
