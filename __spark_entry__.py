@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from twitter_crawler_spark.ops.analytics import ANALYTICS_QUERIES
+from twitter_crawler_spark.ops.components import q_dedup_clusters
 from twitter_crawler_spark.ops.corpus import CORPUS_SQL, EXTRA_ORACLE_SQL
 from twitter_crawler_spark.ops.multimodal import q_multimodal_features
 
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name in CORPUS_SQL:
         out[name] = _corpus_query(name)
     out["multimodal_features"] = q_multimodal_features
+    out["dedup_clusters"] = q_dedup_clusters
     return out
 
 

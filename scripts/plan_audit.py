@@ -56,6 +56,7 @@ JVM_ONLY_QUERIES = [
     "dedup_ngram_jaccard", "dedup_embedding_nn", "simhash_signatures",
     "doc_fingerprint", "lang_id", "quality_score", "token_count",
     "token_edges", "multimodal_meta", "ann_lsh_bucketed",
+    "repetition_stats",
 ]
 
 # universal-ban exceptions, each with its reason (rendered into PLANS.md)

@@ -106,6 +106,22 @@ def test_require_shared_state_gate():
         require_shared_state("yarn", "/tmp/s", False)
 
 
+def test_bucket_geometry_mismatch_fails_fast(spark, tmp_path):
+    """A fixture written with one pages_buckets modulus driven by a config
+    with another would make the bucket-pruned fetch join silently skip due
+    pages (wrong results, no error) — the engine must refuse to construct."""
+    from twitter_crawler_spark.config import CrawlConfig
+    from twitter_crawler_spark.crawl.engine import CrawlEngine
+    from twitter_crawler_spark.fixtures.webgen import generate_web
+
+    fx = str(tmp_path / "fx")
+    generate_web(fx, seed=13, n_pages=60, n_hosts=4, n_seeds=3,
+                 span_rounds=2, pages_buckets=16)
+    with pytest.raises(ValueError, match="pages_buckets"):
+        CrawlEngine(spark, fx, str(tmp_path / "state"),
+                    CrawlConfig(max_rounds=1, pages_buckets=8))
+
+
 def test_info_transfer_matches_pandas(spark):
     """Pin the Spark plumbing (top-8 selection, pair enumeration, min-count
     filter, both directions) against a pandas recomputation. The IT metric
@@ -143,10 +159,56 @@ def test_info_transfer_matches_pandas(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-@pytest.mark.parametrize("name", ["dedup_exact", "lang_id", "token_count"])
+@pytest.mark.parametrize("name", ["dedup_exact", "lang_id", "token_count",
+                                  "repetition_stats"])
 def test_corpus_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0
+
+
+def test_dedup_clusters_matches_unionfind(spark):
+    """3-way pin for the iterative large-star/small-star clustering: the
+    Spark DataFrame algorithm vs an independent pure-Python union-find over
+    the SAME candidate pairs (the DuckDB recursive-CTE twin is the third
+    representation, checked by the driver gate / validate_entry.py).
+    Union-by-min keeps each component's root at its min doc_id, matching
+    the cluster_id contract."""
+    import duckdb
+
+    from twitter_crawler_spark.ops.corpus import sql_lsh_pairs
+
+    got = (
+        entrymod.queries()["dedup_clusters"](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from '{SF}/documents.parquet'"
+    )
+    pairs = con.execute(sql_lsh_pairs("duckdb")).fetchdf()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    parent = {int(d): int(d) for d in docs.doc_id}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = pd.DataFrame(
+        {
+            "doc_id": sorted(parent),
+            "cluster_id": [find(d) for d in sorted(parent)],
+        }
+    )
+    assert want.cluster_id.nunique() < len(want)  # fixture has real clusters
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_url_features_tsv_job(spark, tmp_path):

@@ -114,6 +114,24 @@ class CrawlEngine:
     def _load_static(self) -> None:
         s, fx = self.spark, self.fx
         self.pages_path = os.path.join(fx, "pages")
+        # Fail fast on a fixture/config bucket-geometry mismatch: the fetch
+        # join prunes pages partitions with bucket = murmur3_64(url) %
+        # cfg.pages_buckets, so if the fixture layout was written with a
+        # different modulus the engine would silently skip due pages (wrong
+        # results, not an error). The layout's modulus is recorded in
+        # meta.json at generation time — disagreement is a configuration
+        # bug, never a recoverable state.
+        meta_path = os.path.join(fx, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                fixture_buckets = json.load(f).get("pages_buckets")
+            if fixture_buckets is not None and fixture_buckets != self.cfg.pages_buckets:
+                raise ValueError(
+                    f"fixture at {fx} was generated with pages_buckets="
+                    f"{fixture_buckets} but CrawlConfig.pages_buckets="
+                    f"{self.cfg.pages_buckets}; the bucket-pruned fetch join "
+                    f"would silently miss pages — pass a matching config"
+                )
         self.redirects = s.read.parquet(os.path.join(fx, "redirects.parquet")).cache()
         self.robots = s.read.parquet(os.path.join(fx, "robots.parquet")).cache()
         self.politeness = s.read.parquet(os.path.join(fx, "politeness.parquet")).cache()

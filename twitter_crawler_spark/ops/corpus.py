@@ -163,6 +163,112 @@ ORDER BY n_shared_bands DESC, doc_a, doc_b
 """
 
 
+def sql_lsh_pairs(d: str) -> str:
+    """DISTINCT MinHash-LSH candidate pairs (doc_a < doc_b), no band count,
+    no ordering — the shared edge list consumed by BOTH the iterative
+    connected-components clustering (ops.components.q_dedup_clusters) and
+    its recursive-CTE oracle (sql_dedup_clusters), so the two sides see a
+    definitionally identical candidate graph."""
+    return f"""
+WITH {_lsh_cte(d)}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def sql_dedup_clusters(d: str) -> str:
+    """DuckDB-only oracle for near-dup CLUSTERING: every document labeled
+    with the minimum doc_id of its connected component in the MinHash-LSH
+    candidate graph (singletons label themselves). Min-label propagation as
+    a recursive CTE: a label l spreads across an edge to node n iff l < n,
+    and the component minimum m satisfies m < n for every other member, so
+    m reaches the whole component and MIN(lbl) per node is exactly the
+    component minimum. The Spark side is NOT this SQL — it is the iterative
+    alternating large-star/small-star DataFrame algorithm
+    (ops/components.py), which this CTE gates."""
+    if d != "duckdb":
+        raise ValueError("dedup_clusters oracle is DuckDB-only; the Spark "
+                         "side is the iterative algorithm in ops.components")
+    return f"""
+WITH RECURSIVE {_lsh_cte(d)},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+cc(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT e.v, cc.lbl
+    FROM edges e JOIN cc ON cc.node = e.u
+    WHERE cc.lbl < e.v
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id
+FROM cc
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
+def sql_repetition_stats(d: str) -> str:
+    """Gopher-style repetition / quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed relationally): duplicate-
+    word fraction plus the fraction of word n-grams occupied by the single
+    most frequent bigram / trigram. Pure set/windowless aggregation — the
+    grams explode is linear in corpus size, grouped by (doc, n, gram), so
+    the plan is two hash aggregates over a generate, no window, no join
+    wider than doc_id. Docs with fewer than 3 tokens carry no defined
+    trigram signal and are excluded (none exist in the fixture)."""
+    toks = E.tokens("text", d)
+    n_tok = E.arr_size("toks", d)
+    n_dis = E.arr_size(E.distinct("toks", d), d)
+    if d == "spark":
+        g2 = ("transform(sequence(1, size(toks) - 1),"
+              " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        g3 = ("transform(sequence(1, size(toks) - 2),"
+              " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+              " ' ', element_at(toks, i + 2)))")
+        expl = ("SELECT doc_id, 2 AS n, gram FROM g LATERAL VIEW explode(g2) AS gram"
+                " UNION ALL "
+                "SELECT doc_id, 3 AS n, gram FROM g LATERAL VIEW explode(g3) AS gram")
+    else:
+        g2 = ("list_transform(generate_series(1, len(toks) - 1),"
+              " i -> concat(toks[i], ' ', toks[i + 1]))")
+        g3 = ("list_transform(generate_series(1, len(toks) - 2),"
+              " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")
+        expl = ("SELECT doc_id, 2 AS n, u2.gram FROM g, UNNEST(g2) AS u2(gram)"
+                " UNION ALL "
+                "SELECT doc_id, 3 AS n, u3.gram FROM g, UNNEST(g3) AS u3(gram)")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+base AS (
+  SELECT doc_id, toks, {n_tok} AS n_tokens, {n_dis} AS n_distinct
+  FROM t WHERE {n_tok} >= 3
+),
+g AS (SELECT doc_id, {g2} AS g2, {g3} AS g3 FROM base),
+e AS ({expl}),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3),
+m AS (SELECT doc_id, n, MAX(cnt) AS top_cnt, SUM(cnt) AS total FROM c GROUP BY 1, 2),
+p AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN ROUND(CAST(top_cnt AS DOUBLE) / total, 6) END) AS top_bigram_frac,
+         MAX(CASE WHEN n = 3 THEN ROUND(CAST(top_cnt AS DOUBLE) / total, 6) END) AS top_trigram_frac
+  FROM m GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       ROUND(CAST(1 AS DOUBLE) - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_word_frac,
+       p.top_bigram_frac, p.top_trigram_frac
+FROM base b JOIN p ON p.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # SimHash near-pair banding: hamming ≤ SIMHASH_MAX_HAMMING over SIMHASH_BITS
 # bits, pigeonholed into SIMHASH_CHUNKS equal chunks — any pair within the
 # hamming radius must agree exactly on ≥ 1 chunk (3 flipped bits cannot touch
@@ -552,10 +658,14 @@ CORPUS_SQL = {
     "doc_fingerprint": sql_doc_fingerprint,
     "token_edges": sql_token_edges,
     "multimodal_meta": sql_multimodal_meta,
+    "repetition_stats": sql_repetition_stats,
 }
 
 # oracles for queries whose Spark side is NOT spark.sql of the same template
-# (multimodal_features runs as mapInPandas; this SQL twin is its DuckDB gate)
+# (multimodal_features runs as mapInPandas; dedup_clusters runs as the
+# iterative large-star/small-star DataFrame algorithm — these SQL twins are
+# their DuckDB gates)
 EXTRA_ORACLE_SQL = {
     "multimodal_features": sql_multimodal_features,
+    "dedup_clusters": sql_dedup_clusters,
 }
