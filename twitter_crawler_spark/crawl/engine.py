@@ -52,6 +52,7 @@ from twitter_crawler_spark.crawl.state import SnapshotStore
 from twitter_crawler_spark.functions.hashing import murmur3_64_udf
 from twitter_crawler_spark.functions.html import decode_html, extract_links, extract_text
 from twitter_crawler_spark.functions.urls import canonicalize_udf
+from twitter_crawler_spark.session import local_df
 
 _TIMING = os.environ.get("TCS_TIMING", "") == "1"
 
@@ -316,7 +317,7 @@ class CrawlEngine:
         (robots-filtered), hosts from the politeness table, url_seen =
         scheduled seeds, fresh bloom shards + manifest bucket map."""
         cfg, s = self.cfg, self.spark
-        seeds = s.createDataFrame([(u,) for u in self.seeds], ["url"]).distinct()
+        seeds = local_df(s, [(u,) for u in self.seeds], "url string").distinct()
         allowed = self._robots_allow(seeds).where("allowed").select("url")
         fr = (
             allowed.withColumn("url_hash", murmur3_64_udf("url"))
@@ -579,7 +580,7 @@ class CrawlEngine:
                 .localCheckpoint()
             )
         else:
-            fetched = s.createDataFrame([], "url string, ts_logical long, html binary")
+            fetched = local_df(s, [], "url string, ts_logical long, html binary")
 
         # per-url fetch result: count, cursor, latest snapshot html
         res = fetched.groupBy("url").agg(
@@ -1032,9 +1033,10 @@ class CrawlEngine:
             )
         )
         # one file: the frame is O(#partitions) rows of counters by
-        # construction — without the coalesce, createDataFrame's default
-        # parallelism writes ~8 part files per round for a few KB
-        metrics_df = self.spark.createDataFrame(rows, schemas.ROUND_METRICS).coalesce(1)
+        # construction — local_df plans a LocalTableScan (no Python workers
+        # at action time) and the coalesce keeps it to one part file
+        metrics_df = local_df(self.spark, rows, schemas.ROUND_METRICS).coalesce(1)
+        _t = _tlog("metrics_assemble", _t)
         st.write_round(metrics_df, "round_metrics", r)
         _t = _tlog("metrics", _t)
 

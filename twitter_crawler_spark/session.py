@@ -67,3 +67,26 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """DataFrame from driver-local rows via pandas + Arrow → LocalTableScan.
+
+    ``spark.createDataFrame(list_of_tuples)`` takes the ``parallelize`` path:
+    the rows become a Python RDD whose conversion re-launches a fleet of
+    Python workers on EVERY action — measured 5-8 s per action for a 33-row
+    frame at local[32], which made the per-round metrics write the single
+    most expensive crawl stage. The pandas route converts once, driver-side,
+    through Arrow and plans a LocalTableScan — pure JVM at action time.
+
+    ``schema`` may be a StructType, a DDL string ("a int, b string"), or a
+    list of column names (the bare-minimum createDataFrame forms used here).
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    names = schema.fieldNames() if isinstance(schema, StructType) else list(schema)
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema)
