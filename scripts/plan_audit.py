@@ -4,7 +4,7 @@ Captures ``explain("formatted")`` for EVERY catalog query plus the crawl
 engine's performance-critical dataflows, and asserts the physical properties
 the 100 TB design depends on:
 
-* universal bans on all 38 catalog queries — no ``BatchEvalPython`` (row-at-
+* universal bans on every catalog query — no ``BatchEvalPython`` (row-at-
   a-time Python), no ``CartesianProduct``, no unpartitioned window (a global
   single-partition ``Window.orderBy`` is the 10^10-row scale killer) — with
   per-query declared exceptions where a property is intentional (listed with
