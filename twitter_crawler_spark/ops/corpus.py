@@ -452,6 +452,68 @@ ORDER BY query_id, rank
 """
 
 
+ANN_IVF_K = 8  # coarse-quantizer size (inverted lists)
+ANN_IVF_NPROBE = 2  # cells scanned per query
+
+
+def sql_ann_ivf(d: str) -> str:
+    """IVF-FLAT ANN — the second scale path beside ``ann_lsh_bucketed``: a
+    K-row coarse quantizer partitions candidates into inverted lists
+    (cells); a query scores only its NPROBE nearest cells instead of the
+    whole corpus.
+
+    Centroids are deterministically seeded (the K lowest-id candidate
+    vectors) rather than Lloyd-trained: the index GEOMETRY is the scale
+    claim — centroid table stays K rows (broadcast) at any corpus size,
+    assignment is one narrow candidates × K pass (BroadcastNestedLoopJoin
+    with a constant-size build side, hinted in the spark dialect), and the
+    search join is an equi-join on ``cell`` whose shuffle carries ~NPROBE/K
+    of the corpus versus the brute-force cross product. Lloyd refinement is
+    deliberately out: float centroid averaging is summation-order-dependent
+    across engines, which would break the cross-engine hash gate (same
+    reason the MinHash/SimHash tiers use integer arithmetic); a production
+    index would train centroids offline and feed them in as the ``ct``
+    table unchanged."""
+    hint = "/*+ BROADCAST(ct) */ " if d == "spark" else ""
+    cos_cc = E.cosine("c.embedding", "ct.embedding", d)
+    cos_qc = E.cosine("q.embedding", "ct.embedding", d)
+    cos_s = E.cosine("p.embedding", "a.embedding", d)
+    return f"""
+WITH ct AS (
+  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id >= 10
+  ORDER BY vec_id LIMIT {ANN_IVF_K}
+),
+assign0 AS (
+  SELECT {hint}c.vec_id, c.embedding, ct.cid, {cos_cc} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                            ORDER BY {cos_cc} DESC, ct.cid) AS rk
+  FROM embeddings c JOIN ct ON 1 = 1
+  WHERE c.vec_id >= 10
+),
+a AS (SELECT vec_id, embedding, cid AS cell FROM assign0 WHERE rk = 1),
+probe0 AS (
+  SELECT {hint}q.vec_id, q.embedding, ct.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos_qc} DESC, ct.cid) AS rk
+  FROM embeddings q JOIN ct ON 1 = 1
+  WHERE q.vec_id < 10
+),
+p AS (SELECT vec_id, embedding, cid AS cell FROM probe0 WHERE rk <= {ANN_IVF_NPROBE}),
+s AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, {cos_s} AS cos
+  FROM p JOIN a ON p.cell = a.cell
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, rk AS rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+FROM r WHERE rk <= 3
+ORDER BY query_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # text statistics
 # ---------------------------------------------------------------------------
@@ -652,6 +714,7 @@ CORPUS_SQL = {
     "dedup_embedding_nn": sql_dedup_embedding_nn,
     "ann_bruteforce_topk": sql_ann_bruteforce,
     "ann_lsh_bucketed": sql_ann_lsh,
+    "ann_ivf_flat": sql_ann_ivf,
     "lang_id": sql_lang_id,
     "quality_score": sql_quality_score,
     "token_count": sql_token_count,
