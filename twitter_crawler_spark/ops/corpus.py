@@ -514,6 +514,83 @@ ORDER BY query_id, rank
 """
 
 
+CLEAN_MIN_TOKENS = 25  # quality gate: drop short docs
+CLEAN_MAX_DUPFRAC = 0.65  # quality gate: drop highly repetitive docs
+
+
+def sql_corpus_clean(d: str) -> str:
+    """Composed training-corpus cleaning pipeline — the flagship composition
+    over the corpus tier, chaining four stages the way a pretraining data
+    pipeline would: (1) quality gate (min tokens + max dup-word fraction),
+    (2) exact dedup (sha256 digest, keep lowest doc_id), (3) MinHash-LSH
+    near-dup removal (drop the higher doc_id of every surviving candidate
+    pair — the keep-first rule), (4) per-lang report of what each stage
+    removed and what survived.
+
+    Composition notes for scale: the LSH banding is computed ONCE over all
+    documents via the shared ``_lsh_cte`` template (banding is per-doc, so
+    candidate pairs among survivors ≡ all-corpus pairs with both endpoints
+    surviving — no second signature pass); every stage is a hash
+    aggregate / equi-join / anti-join (NOT EXISTS), so the whole pipeline
+    is one shuffle chain with no cross product and no Python."""
+    digest = "sha2(text, 256)" if d == "spark" else "sha256(text)"
+    toks = E.tokens("text", d)
+    return f"""
+WITH {_lsh_cte(d)},
+base AS (
+  SELECT doc_id, lang, text, {E.arr_size(toks, d)} AS n_tokens,
+         {E.arr_size(E.distinct(toks, d), d)} AS n_distinct
+  FROM documents
+),
+qual AS (
+  SELECT * FROM base
+  WHERE n_tokens >= {CLEAN_MIN_TOKENS}
+    AND CAST(n_distinct AS DOUBLE) / n_tokens >= {1.0 - CLEAN_MAX_DUPFRAC}
+),
+ex AS (SELECT doc_id, lang, n_tokens, {digest} AS digest FROM qual),
+keepers AS (SELECT digest, MIN(doc_id) AS doc_id FROM ex GROUP BY 1),
+s1 AS (
+  SELECT e.doc_id, e.lang, e.n_tokens
+  FROM ex e JOIN keepers k ON e.doc_id = k.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+dom AS (
+  SELECT DISTINCT p.doc_b AS doc_id
+  FROM pairs p
+  JOIN s1 x ON p.doc_a = x.doc_id
+  JOIN s1 y ON p.doc_b = y.doc_id
+),
+s2 AS (
+  SELECT s1.doc_id, s1.lang, s1.n_tokens FROM s1
+  WHERE NOT EXISTS (SELECT 1 FROM dom WHERE dom.doc_id = s1.doc_id)
+),
+a0 AS (SELECT lang, COUNT(*) AS n_docs FROM base GROUP BY 1),
+a1 AS (SELECT lang, COUNT(*) AS n_qual FROM qual GROUP BY 1),
+a2 AS (SELECT lang, COUNT(*) AS n_exact FROM s1 GROUP BY 1),
+a3 AS (SELECT lang, COUNT(*) AS kept_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+              ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_doc_tokens
+       FROM s2 GROUP BY 1)
+SELECT a0.lang,
+       a0.n_docs,
+       a0.n_docs - COALESCE(a1.n_qual, 0) AS quality_removed,
+       COALESCE(a1.n_qual, 0) - COALESCE(a2.n_exact, 0) AS exact_removed,
+       COALESCE(a2.n_exact, 0) - COALESCE(a3.kept_docs, 0) AS neardup_removed,
+       COALESCE(a3.kept_docs, 0) AS kept_docs,
+       COALESCE(a3.kept_tokens, 0) AS kept_tokens,
+       a3.avg_doc_tokens
+FROM a0
+LEFT JOIN a1 ON a1.lang = a0.lang
+LEFT JOIN a2 ON a2.lang = a0.lang
+LEFT JOIN a3 ON a3.lang = a0.lang
+ORDER BY a0.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # text statistics
 # ---------------------------------------------------------------------------
@@ -715,6 +792,7 @@ CORPUS_SQL = {
     "ann_bruteforce_topk": sql_ann_bruteforce,
     "ann_lsh_bucketed": sql_ann_lsh,
     "ann_ivf_flat": sql_ann_ivf,
+    "corpus_clean_report": sql_corpus_clean,
     "lang_id": sql_lang_id,
     "quality_score": sql_quality_score,
     "token_count": sql_token_count,
