@@ -161,7 +161,8 @@ def test_info_transfer_matches_pandas(spark):
 
 @pytest.mark.parametrize("name", ["dedup_exact", "lang_id", "token_count",
                                   "repetition_stats", "ann_ivf_flat",
-                                  "corpus_clean_report"])
+                                  "corpus_clean_report", "sample_stratified",
+                                  "mixture_weights"])
 def test_corpus_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0

@@ -591,6 +591,86 @@ ORDER BY a0.lang
 """
 
 
+# Per-lang sampling rates for the stratified sample (premultiplied against
+# SAMPLE_MOD below so the predicate is pure integer arithmetic).
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+SAMPLE_MOD = 1_000_000
+_KNUTH = 2654435761  # Knuth multiplicative constant
+
+
+def sql_sample_stratified(d: str) -> str:
+    """Deterministic hash-stratified sampling — the reproducible-sampling
+    primitive a training-data pipeline needs at 100 TB: membership is a pure
+    function of the key (keep iff (doc_id * Knuth) mod M < rate * M), so the
+    sample is identical across runs, engines, partitionings and retries with
+    NO RNG state, no shuffle, and no driver coordination — the predicate
+    evaluates row-local inside the scan (whole-stage codegen). Per-stratum
+    rates implement the curation mix. The report pins exact membership via
+    an order-insensitive doc_id checksum, not just counts.
+
+    The multiplicative hash keeps int64-exact in both engines at fixture
+    ids; a production deployment swaps in xxhash64(key) & mask on the Spark
+    side (same row-local shape) once cross-engine oracle parity is no longer
+    the constraint."""
+    thresh = "CASE lang " + " ".join(
+        f"WHEN '{lg}' THEN {int(r * SAMPLE_MOD)}" for lg, r in sorted(SAMPLE_RATES.items())
+    ) + " ELSE 0 END"
+    return f"""
+WITH s AS (
+  SELECT lang, doc_id,
+         CASE WHEN ((doc_id * {_KNUTH}) % {SAMPLE_MOD}) < ({thresh})
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS total_docs,
+       CAST(SUM(keep) AS BIGINT) AS sampled_docs,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS achieved_rate,
+       CAST(SUM(keep * doc_id) AS BIGINT) AS sample_checksum
+FROM s
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# Target per-lang token share for the mixture-weight query (uniform here;
+# a real curation config feeds domain-specific targets).
+MIX_TARGET_SHARE = 0.2
+
+
+def sql_mixture_weights(d: str) -> str:
+    """Pretraining mixture rebalancing: given the corpus's current per-lang
+    token share, compute the per-lang sampling rate that moves the mix
+    toward a uniform target share — rate ∝ target/current, normalized so the
+    largest rate is 1.0 (you can only downsample, not mint data). Two hash
+    aggregates and a broadcastable 1-row total: no window, no Python; at
+    100 TB the per-stratum aggregate is the only shuffle and its key space
+    is #strata."""
+    toks = E.tokens("text", d)
+    return f"""
+WITH t AS (
+  SELECT lang, CAST({E.arr_size(toks, d)} AS BIGINT) AS n_tokens FROM documents
+),
+agg AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS tokens FROM t GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM agg),
+w AS (
+  SELECT a.lang, a.tokens,
+         CAST(a.tokens AS DOUBLE) / tot.total AS cur_share,
+         {MIX_TARGET_SHARE} / (CAST(a.tokens AS DOUBLE) / tot.total) AS raw_rate
+  FROM agg a, tot
+),
+mx AS (SELECT MAX(raw_rate) AS m FROM w)
+SELECT w.lang, w.tokens,
+       ROUND(w.cur_share, 6) AS cur_share,
+       CAST({MIX_TARGET_SHARE} AS DOUBLE) AS target_share,
+       ROUND(w.raw_rate / mx.m, 6) AS sample_rate
+FROM w, mx
+ORDER BY w.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # text statistics
 # ---------------------------------------------------------------------------
@@ -793,6 +873,8 @@ CORPUS_SQL = {
     "ann_lsh_bucketed": sql_ann_lsh,
     "ann_ivf_flat": sql_ann_ivf,
     "corpus_clean_report": sql_corpus_clean,
+    "sample_stratified": sql_sample_stratified,
+    "mixture_weights": sql_mixture_weights,
     "lang_id": sql_lang_id,
     "quality_score": sql_quality_score,
     "token_count": sql_token_count,
