@@ -200,6 +200,110 @@ def test_ann_ivf_is_bruteforce_restricted_to_probed_cells(spark):
     assert recall >= 0.2, f"IVF recall@3 collapsed: {recall}"
 
 
+def test_corpus_clean_matches_pandas_twin(spark):
+    """Independent twin for the composed cleaning pipeline: the dual-dialect
+    gate runs the SAME SQL template in both engines, so a logic bug in the
+    template would pass it — this twin re-derives the per-lang report in
+    pure pandas (regex tokenizer, hashlib sha256, Python set keep-first over
+    the LSH pair graph) and compares exactly. Pairs come from the shared
+    sql_lsh_pairs template (same precedent as the dedup_clusters union-find
+    pin: the candidate GRAPH is shared, the pipeline LOGIC is independent)."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from twitter_crawler_spark.ops.corpus import (
+        CLEAN_MAX_DUPFRAC,
+        CLEAN_MIN_TOKENS,
+        sql_lsh_pairs,
+    )
+
+    got = (
+        entrymod.queries()["corpus_clean_report"](spark, SF)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tok = lambda s: [t for t in re.sub(r"[^a-z0-9]+", " ", s.lower()).split(" ") if t]
+    docs["toks"] = docs.text.map(tok)
+    docs["n_tokens"] = docs.toks.map(len)
+    docs["n_distinct"] = docs.toks.map(lambda t: len(set(t)))
+    qual = docs[
+        (docs.n_tokens >= CLEAN_MIN_TOKENS)
+        & (docs.n_distinct / docs.n_tokens >= 1.0 - CLEAN_MAX_DUPFRAC)
+    ]
+    digest = qual.text.map(lambda s: hashlib.sha256(s.encode()).hexdigest())
+    keepers = qual.assign(digest=digest).groupby("digest").doc_id.min()
+    s1 = qual[qual.doc_id.isin(set(keepers))]
+
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from '{SF}/documents.parquet'")
+    pairs = con.execute(sql_lsh_pairs("duckdb")).fetchdf()
+    alive = set(s1.doc_id)
+    dominated = {
+        int(b) for a, b in zip(pairs.doc_a, pairs.doc_b)
+        if int(a) in alive and int(b) in alive
+    }
+    s2 = s1[~s1.doc_id.isin(dominated)]
+
+    rows = []
+    for lang, grp in docs.groupby("lang"):
+        n_docs = len(grp)
+        n_qual = int((qual.lang == lang).sum())
+        n_exact = int((s1.lang == lang).sum())
+        kept = s2[s2.lang == lang]
+        rows.append({
+            "lang": lang,
+            "n_docs": n_docs,
+            "quality_removed": n_docs - n_qual,
+            "exact_removed": n_qual - n_exact,
+            "neardup_removed": n_exact - len(kept),
+            "kept_docs": len(kept),
+            "kept_tokens": int(kept.n_tokens.sum()),
+            "avg_doc_tokens": round(float(kept.n_tokens.mean()), 6)
+            if len(kept) else None,
+        })
+    want = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    assert (want[["quality_removed", "exact_removed", "neardup_removed"]]
+            .to_numpy().sum() > 0)  # every tier of the fixture pipeline bites
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sample_stratified_matches_numpy_twin(spark):
+    """Independent twin for the deterministic stratified sample: recompute
+    membership with numpy int64 arithmetic and compare counts AND the exact
+    membership checksum."""
+    from twitter_crawler_spark.ops.corpus import SAMPLE_MOD, SAMPLE_RATES, _KNUTH
+
+    got = (
+        entrymod.queries()["sample_stratified"](spark, SF)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    thresh = docs.lang.map({lg: int(r * SAMPLE_MOD) for lg, r in SAMPLE_RATES.items()})
+    keep = (docs.doc_id.astype("int64") * _KNUTH) % SAMPLE_MOD < thresh
+    want = (
+        docs.assign(keep=keep.astype("int64"))
+        .groupby("lang")
+        .apply(lambda g: pd.Series({
+            "total_docs": len(g),
+            "sampled_docs": int(g.keep.sum()),
+            "achieved_rate": round(float(g.keep.mean()), 6),
+            "sample_checksum": int((g.keep * g.doc_id).sum()),
+        }), include_groups=False)
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert want.sampled_docs.sum() > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_dedup_clusters_matches_unionfind(spark):
     """3-way pin for the iterative large-star/small-star clustering: the
     Spark DataFrame algorithm vs an independent pure-Python union-find over
