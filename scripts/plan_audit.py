@@ -47,6 +47,10 @@ WANTS: dict[str, list[str]] = {
     "url_features": ["Window"],
     "anti_join_new": ["LeftAnti", "Broadcast"],
     "ts_range_join": ["PushedFilters"],
+    # the tiny benchmark gram set must broadcast into the corpus-side explode
+    "decontaminate": ["BroadcastHashJoin"],
+    # packing's running sum must be a (shard-)partitioned window
+    "sequence_pack": ["Window"],
 }
 
 # the corpus hashing/dedup tier must be pure JVM — ban every Python node
@@ -56,7 +60,7 @@ JVM_ONLY_QUERIES = [
     "dedup_ngram_jaccard", "dedup_embedding_nn", "simhash_signatures",
     "doc_fingerprint", "lang_id", "quality_score", "token_count",
     "token_edges", "multimodal_meta", "ann_lsh_bucketed",
-    "repetition_stats",
+    "repetition_stats", "decontaminate", "sequence_pack",
 ]
 
 # universal-ban exceptions, each with its reason (rendered into PLANS.md)

@@ -162,7 +162,8 @@ def test_info_transfer_matches_pandas(spark):
 @pytest.mark.parametrize("name", ["dedup_exact", "lang_id", "token_count",
                                   "repetition_stats", "ann_ivf_flat",
                                   "corpus_clean_report", "sample_stratified",
-                                  "mixture_weights"])
+                                  "mixture_weights", "decontaminate",
+                                  "sequence_pack"])
 def test_corpus_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0
@@ -301,6 +302,82 @@ def test_sample_stratified_matches_numpy_twin(spark):
         .reset_index(drop=True)
     )
     assert want.sampled_docs.sum() > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _py_tokens(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+
+
+def test_decontaminate_matches_python_twin(spark):
+    """Independent twin for benchmark decontamination: recompute the token
+    5-gram sets with plain Python strings (no hashing at all — the twin uses
+    the gram text itself, so it also proves the 60-bit gram hash is
+    collision-free on the fixture) and re-derive every doc's contaminated
+    count and keep verdict."""
+    from twitter_crawler_spark.ops.corpus import DECON_BENCH_MOD, DECON_N
+
+    got = (
+        entrymod.queries()["decontaminate"](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    grams: dict[int, set[tuple[str, ...]]] = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = _py_tokens(text)
+        if len(toks) >= DECON_N:
+            grams[int(doc_id)] = {
+                tuple(toks[i : i + DECON_N]) for i in range(len(toks) - DECON_N + 1)
+            }
+    bench: set[tuple[str, ...]] = set()
+    for doc_id, gs in grams.items():
+        if doc_id % DECON_BENCH_MOD == 0:
+            bench |= gs
+    rows = [
+        (doc_id, len(gs), len(gs & bench), int(not (gs & bench)))
+        for doc_id, gs in sorted(grams.items())
+        if doc_id % DECON_BENCH_MOD != 0
+    ]
+    want = pd.DataFrame(rows, columns=["doc_id", "n_grams", "n_contaminated", "keep"])
+    assert want.n_contaminated.sum() > 0  # the fixture's duplicated spans bite
+    assert (want.keep == 0).sum() > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sequence_pack_matches_python_twin(spark):
+    """Independent twin + invariants for token-budget sequence packing: a
+    pure-pandas per-shard running sum must reproduce every (seq_id,
+    seq_offset) slot, every offset stays < the budget, and each shard's
+    slots are gapless (cum_before advances by exactly n_tokens)."""
+    from twitter_crawler_spark.ops.corpus import PACK_BUDGET, PACK_SHARDS
+
+    got = (
+        entrymod.queries()["sequence_pack"](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    tw = pd.DataFrame({
+        "doc_id": docs.doc_id.astype("int64"),
+        "n_tokens": [len(_py_tokens(t)) for t in docs.text],
+    })
+    tw["shard"] = tw.doc_id % PACK_SHARDS
+    tw = tw.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    cum = tw.groupby("shard").n_tokens.cumsum() - tw.n_tokens
+    tw["seq_id"] = cum // PACK_BUDGET
+    tw["seq_offset"] = cum % PACK_BUDGET
+    want = (
+        tw[["doc_id", "shard", "n_tokens", "seq_id", "seq_offset"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert want.seq_id.max() > 0  # the fixture actually fills sequences
+    assert (got.seq_offset < PACK_BUDGET).all()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 

@@ -861,6 +861,135 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# decontamination + sequence packing (training-set hygiene / batch shaping)
+# ---------------------------------------------------------------------------
+
+# token n-gram width for decontamination. 5 on the tiny-vocab fixture so the
+# fixture's duplicated spans actually collide; production corpora use 8–13
+# (GPT-3 used 13-gram decontamination, Brown et al. 2020 appendix C).
+DECON_N = 5
+# deterministic benchmark holdout: docs with doc_id % DECON_BENCH_MOD == 0
+# stand in for the eval suites a real pipeline decontaminates against.
+DECON_BENCH_MOD = 23
+
+
+def _gram_hashes_wide(n: int, d: str) -> str:
+    """Distinct 60-bit hashes of ordered token n-grams, as an expression over
+    CTE columns ``th1``/``th2`` (the two independent ordered token-hash
+    arrays). Each gram hash folds n consecutive token hashes with the
+    polynomial family, one fold per hash family, packed h1·2^30 + h2 — all
+    intermediates < 2^60, int64-exact in both engines, and 60 bits keeps the
+    gram-collision probability negligible at the 10^10-gram design point
+    (the same widening SimHash got in round 3)."""
+    if d == "spark":
+        f1 = (f"aggregate(slice(th1, i, {n}), cast({E.HASH_INIT} as bigint),"
+              f" (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
+        f2 = (f"aggregate(slice(th2, i, {n}), cast({E.HASH_INIT2} as bigint),"
+              f" (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
+        # sequence(1, 0) in Spark is the DESCENDING [1, 0] — guard short docs
+        grams = (f"case when size(th1) < {n} then array()"
+                 f" else transform(sequence(1, size(th1) - {n - 1}),"
+                 f" i -> ({f1}) * {1 << 30} + ({f2})) end")
+        return f"array_distinct({grams})"
+    f1 = (f"list_reduce(list_prepend(cast({E.HASH_INIT} as bigint),"
+          f" th1[i:i+{n - 1}]), (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
+    f2 = (f"list_reduce(list_prepend(cast({E.HASH_INIT2} as bigint),"
+          f" th2[i:i+{n - 1}]), (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
+    grams = (f"list_transform(generate_series(1, len(th1) - {n - 1}),"
+             f" i -> ({f1}) * {1 << 30} + ({f2}))")
+    return f"list_distinct({grams})"
+
+
+def sql_decontaminate(d: str) -> str:
+    """Benchmark decontamination (GPT-3 appendix C / the standard eval-set
+    hygiene pass): flag every training document sharing any token
+    {DECON_N}-gram with the benchmark holdout. Relational shape built for
+    100 TB: each side explodes to (doc_id, gram_hash) rows — ordered
+    60-bit gram hashes, never gram strings — the benchmark gram set is tiny
+    (eval suites are MBs, not TBs) so Spark broadcasts it into the training
+    explode with no shuffle of the corpus side, and the only wide operation
+    is the final groupBy doc_id. At the design point you'd add a bloom
+    pre-filter built from the benchmark grams in front of the join; the join
+    IS that filter at fixture scale. Output: every training doc with its
+    gram count, distinct contaminated-gram count, and the keep verdict."""
+    toks = E.tokens("text", d)
+    sz = "size" if d == "spark" else "len"
+    th1 = E.transform("toks", f"t -> {E.str_hash('t', d)}", d)
+    th2 = E.transform("toks", f"t -> {E.str_hash2('t', d)}", d)
+    grams = _gram_hashes_wide(DECON_N, d)
+    if d == "spark":
+        expl = "SELECT doc_id, gh FROM g LATERAL VIEW explode(grams) AS gh"
+    else:
+        expl = "SELECT doc_id, u.gh FROM g, UNNEST(grams) AS u(gh)"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+h AS (
+  SELECT doc_id, {th1} AS th1, {th2} AS th2
+  FROM t WHERE {sz}(toks) >= {DECON_N}
+),
+g AS (SELECT doc_id, {grams} AS grams FROM h),
+e AS ({expl}),
+bench AS (SELECT DISTINCT gh FROM e WHERE doc_id % {DECON_BENCH_MOD} = 0),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit
+  FROM e JOIN bench b ON e.gh = b.gh
+  WHERE e.doc_id % {DECON_BENCH_MOD} != 0
+  GROUP BY e.doc_id
+)
+SELECT g.doc_id,
+       CAST({sz}(g.grams) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h2.n_hit, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN COALESCE(h2.n_hit, 0) = 0 THEN 1 ELSE 0 END AS keep
+FROM g LEFT JOIN hits h2 ON h2.doc_id = g.doc_id
+WHERE g.doc_id % {DECON_BENCH_MOD} != 0
+ORDER BY g.doc_id
+"""
+
+
+# sequence packing: concatenate-and-chunk batch shaping (the T5/GPT
+# pretraining input pipeline), distributed per shard.
+PACK_BUDGET = 128   # tokens per packed training sequence
+PACK_SHARDS = 8     # parallel packing streams (scales with the cluster)
+
+
+def sql_sequence_pack(d: str) -> str:
+    """Token-budget sequence packing: assign every document a (shard, seq_id,
+    seq_offset) slot in a stream of fixed-{PACK_BUDGET}-token training
+    sequences, concatenate-and-chunk style. Packing is inherently a running
+    sum, so the scalable form is per-shard: shard = doc_id % {PACK_SHARDS}
+    makes the running sum a window PARTITIONED BY shard (never a global
+    single-partition window — the audit ban), each shard packs an
+    independent stream, and shard count scales with the cluster. The
+    assignment is a pure function of (doc_id order, token counts): identical
+    across runs, engines, and partitionings — a resumable pipeline can
+    recompute any slice without coordination."""
+    toks = E.tokens("text", d)
+    ntok = E.arr_size("toks", d)
+    div = _intdiv("cum_before", str(PACK_BUDGET), d)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+n AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST({ntok} AS BIGINT) AS n_tokens
+  FROM t
+),
+w AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM n
+)
+SELECT doc_id, shard, n_tokens,
+       CAST({div} AS BIGINT) AS seq_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM w
+ORDER BY doc_id
+"""
+
+
 # registry: name → builder
 CORPUS_SQL = {
     "dedup_exact": sql_dedup_exact,
@@ -882,6 +1011,8 @@ CORPUS_SQL = {
     "token_edges": sql_token_edges,
     "multimodal_meta": sql_multimodal_meta,
     "repetition_stats": sql_repetition_stats,
+    "decontaminate": sql_decontaminate,
+    "sequence_pack": sql_sequence_pack,
 }
 
 # oracles for queries whose Spark side is NOT spark.sql of the same template
