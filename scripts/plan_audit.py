@@ -51,6 +51,8 @@ WANTS: dict[str, list[str]] = {
     "decontaminate": ["BroadcastHashJoin"],
     # packing's running sum must be a (shard-)partitioned window
     "sequence_pack": ["Window"],
+    # the trigram "model" tables are alphabet-bounded → must broadcast
+    "lm_perplexity": ["BroadcastHashJoin"],
 }
 
 # the corpus hashing/dedup tier must be pure JVM — ban every Python node
@@ -61,6 +63,7 @@ JVM_ONLY_QUERIES = [
     "doc_fingerprint", "lang_id", "quality_score", "token_count",
     "token_edges", "multimodal_meta", "ann_lsh_bucketed",
     "repetition_stats", "decontaminate", "sequence_pack",
+    "lm_perplexity",
 ]
 
 # universal-ban exceptions, each with its reason (rendered into PLANS.md)

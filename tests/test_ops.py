@@ -163,7 +163,7 @@ def test_info_transfer_matches_pandas(spark):
                                   "repetition_stats", "ann_ivf_flat",
                                   "corpus_clean_report", "sample_stratified",
                                   "mixture_weights", "decontaminate",
-                                  "sequence_pack"])
+                                  "sequence_pack", "lm_perplexity"])
 def test_corpus_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0
@@ -379,6 +379,42 @@ def test_sequence_pack_matches_python_twin(spark):
     assert want.seq_id.max() > 0  # the fixture actually fills sequences
     assert (got.seq_offset < PACK_BUDGET).all()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lm_perplexity_matches_python_twin(spark):
+    """Independent twin for the self-trained trigram LM score: Counter-based
+    trigram/prefix counts over the raw corpus and a per-doc mean of
+    -log2(cnt3/cnt2), no SQL anywhere."""
+    import math
+    import re
+    from collections import Counter
+
+    got = (
+        entrymod.queries()["lm_perplexity"](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    norm = {
+        int(i): re.sub(r"[^a-z0-9]+", " ", t.lower()) for i, t in zip(docs.doc_id, docs.text)
+    }
+    tris: dict[int, list[str]] = {
+        i: [s[k : k + 3] for k in range(len(s) - 2)] for i, s in norm.items() if len(s) >= 3
+    }
+    c3: Counter = Counter()
+    c2: Counter = Counter()
+    for ts in tris.values():
+        c3.update(ts)
+        c2.update(t[:2] for t in ts)
+    rows = [
+        (i, len(ts), round(sum(-math.log2(c3[t] / c2[t[:2]]) for t in ts) / len(ts), 6))
+        for i, ts in sorted(tris.items())
+    ]
+    want = pd.DataFrame(rows, columns=["doc_id", "n_trigrams", "bits_per_trigram"])
+    assert want.bits_per_trigram.min() > 0  # a corpus-trained LM is never certain
+    assert want.bits_per_trigram.nunique() > 1  # scores actually separate docs
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6, rtol=0)
 
 
 def test_dedup_clusters_matches_unionfind(spark):

@@ -990,6 +990,45 @@ ORDER BY doc_id
 """
 
 
+def sql_lm_perplexity(d: str) -> str:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020), self-contained:
+    score every document by the bits-per-trigram of a character-trigram
+    language model trained on the corpus itself — no external model, fully
+    deterministic. P(c3 | c1 c2) = cnt(c1c2c3) / cnt(c1c2-as-prefix), both
+    counts from one trigram explode; per-doc score = avg over positions of
+    -log2 of that conditional. The scale shape is the point: the trained
+    "model" is the trigram count table, whose cardinality is bounded by the
+    alphabet (≤ 37^3 here), NOT the corpus — so at 100 TB both count tables
+    broadcast, and the plan is one explode, two bounded hash aggregates, and
+    two broadcast joins back onto the exploded stream. Every log2 term is a
+    ratio of identical integers in both engines; the per-doc sum is the only
+    float accumulation (round-6 output, same tolerance class as
+    gap_entropy)."""
+    if d == "spark":
+        norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ')"
+        tris = "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"
+        expl = "SELECT doc_id, tri FROM g LATERAL VIEW explode(tris) AS tri"
+    else:
+        norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
+        tris = "list_transform(generate_series(1, length(s) - 2), i -> s[i:i+2])"
+        expl = "SELECT doc_id, u.tri FROM g, UNNEST(tris) AS u(tri)"
+    return f"""
+WITH t AS (SELECT doc_id, {norm} AS s FROM documents),
+g AS (SELECT doc_id, {tris} AS tris FROM t WHERE length(s) >= 3),
+e AS ({expl}),
+c3 AS (SELECT tri, COUNT(*) AS cnt3 FROM e GROUP BY tri),
+c2 AS (SELECT substring(tri, 1, 2) AS bi, COUNT(*) AS cnt2 FROM e GROUP BY 1)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(-log2(CAST(c3.cnt3 AS DOUBLE) / c2.cnt2)), 6) AS bits_per_trigram
+FROM e
+JOIN c3 ON c3.tri = e.tri
+JOIN c2 ON c2.bi = substring(e.tri, 1, 2)
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+"""
+
+
 # registry: name → builder
 CORPUS_SQL = {
     "dedup_exact": sql_dedup_exact,
@@ -1013,6 +1052,7 @@ CORPUS_SQL = {
     "repetition_stats": sql_repetition_stats,
     "decontaminate": sql_decontaminate,
     "sequence_pack": sql_sequence_pack,
+    "lm_perplexity": sql_lm_perplexity,
 }
 
 # oracles for queries whose Spark side is NOT spark.sql of the same template
