@@ -12,7 +12,8 @@ Implementation lives in ``twitter_crawler_spark.ops``:
 * ops.corpus — dedup / similarity / text statistics as Spark SQL
   higher-order-function pipelines, generated for BOTH dialects from one
   template module (ops.exprs) so the oracle can never drift;
-* ops.multimodal — binary-payload plumbing via mapInPandas (rows-only check).
+* ops.multimodal — binary-payload plumbing via mapInPandas (the fake decode
+  is deterministic byte arithmetic, so even this has a SQL oracle twin).
 
 The crawl engine itself (twitter_crawler_spark.crawl) is validated by the
 pytest golden suite against the pure-Python frontier oracle (tests/), and

@@ -3,8 +3,12 @@
 The SQL-expressible operators are gated by the driver's DuckDB side-by-side
 check (scripts/validate_entry.py replicates it); here we pin:
 * the full query registry runs and returns stable schemas;
-* the two non-SQL operators (info_transfer, multimodal_features) against
-  independent pure-pandas recomputations.
+* the operators whose Spark side is NOT spark.sql of the oracle template
+  (info_transfer, multimodal_features, dedup_clusters) against independent
+  pure-pandas/Python recomputations;
+* independent twins for the curation tier (sampling, cleaning pipeline,
+  decontamination, sequence packing, LM perplexity) so the dual-dialect
+  templates are cross-checked by a third representation, not just DuckDB.
 """
 
 from __future__ import annotations

@@ -1003,21 +1003,33 @@ def sql_lm_perplexity(d: str) -> str:
     two broadcast joins back onto the exploded stream. Every log2 term is a
     ratio of identical integers in both engines; the per-doc sum is the only
     float accumulation (round-6 output, same tolerance class as
-    gap_entropy)."""
+    gap_entropy).
+
+    Plan note: trigrams are extracted by exploding POSITIONS and
+    substring-ing the normalized text column per exploded row — NOT by a
+    ``transform(sequence(...), i -> substring(s, i, 3))`` HOF. Inside a
+    lambda, Spark's CollapseProject inlines the ``s`` projection, so the
+    regexp_replace re-runs per array ELEMENT (O(len²) regex per doc —
+    measured 17 s at sf0.1); the Generate boundary pins ``s`` to one
+    evaluation per document (2.2 s, 8×). Prefix counts come from the
+    already-tiny trigram table (one SUM over ≤ alphabet³ rows), not a second
+    corpus pass."""
     if d == "spark":
         norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ')"
-        tris = "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))"
-        expl = "SELECT doc_id, tri FROM g LATERAL VIEW explode(tris) AS tri"
+        expl = ("SELECT doc_id, substring(s, pos, 3) AS tri FROM t"
+                " LATERAL VIEW explode(sequence(1, length(s) - 2)) AS pos"
+                " WHERE length(s) >= 3")
     else:
         norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
-        tris = "list_transform(generate_series(1, length(s) - 2), i -> s[i:i+2])"
-        expl = "SELECT doc_id, u.tri FROM g, UNNEST(tris) AS u(tri)"
+        expl = ("SELECT doc_id, s[pos:pos+2] AS tri FROM t,"
+                " UNNEST(generate_series(1, length(s) - 2)) AS u(pos)"
+                " WHERE length(s) >= 3")
     return f"""
 WITH t AS (SELECT doc_id, {norm} AS s FROM documents),
-g AS (SELECT doc_id, {tris} AS tris FROM t WHERE length(s) >= 3),
 e AS ({expl}),
 c3 AS (SELECT tri, COUNT(*) AS cnt3 FROM e GROUP BY tri),
-c2 AS (SELECT substring(tri, 1, 2) AS bi, COUNT(*) AS cnt2 FROM e GROUP BY 1)
+c2 AS (SELECT substring(tri, 1, 2) AS bi, CAST(SUM(cnt3) AS BIGINT) AS cnt2
+       FROM c3 GROUP BY 1)
 SELECT e.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_trigrams,
        ROUND(AVG(-log2(CAST(c3.cnt3 AS DOUBLE) / c2.cnt2)), 6) AS bits_per_trigram
