@@ -107,7 +107,12 @@ def sql_dedup_ngram_jaccard(d: str) -> str:
     candidate pairs (never an all-pairs scan): banding equi-join proposes
     candidates, a per-doc top-{JACCARD_CAND_CAP} cap (by shared-band count)
     bounds the verify fan-out, then set arithmetic scores the survivors.
-    |A∪B| = |A|+|B|−|A∩B| since gram arrays are distinct."""
+    |A∪B| = |A|+|B|−|A∩B| since gram arrays are distinct. Gram arrays are
+    computed ONLY for documents appearing in a capped candidate pair
+    (semi-join on the candidate endpoints): at 100 TB the char-gram
+    extraction touches the candidate set, never the corpus — and at fixture
+    scale it sidesteps the CollapseProject regex-per-element cost the
+    lm_perplexity plan note documents."""
     grams = E.char_ngrams("text", 3, d)
     inter = (
         "size(array_intersect(ga.grams, gb.grams))"
@@ -133,7 +138,13 @@ capped AS (
     FROM cand
   ) ranked WHERE rka <= {JACCARD_CAND_CAP} AND rkb <= {JACCARD_CAND_CAP}
 ),
-g AS (SELECT doc_id, {grams} AS grams FROM documents),
+cand_docs AS (
+  SELECT doc_a AS doc_id FROM capped UNION SELECT doc_b AS doc_id FROM capped
+),
+g AS (
+  SELECT d.doc_id, {grams} AS grams
+  FROM documents d JOIN cand_docs cd ON cd.doc_id = d.doc_id
+),
 scored AS (
   SELECT c.doc_a, c.doc_b, {inter} AS inter,
          {sz}(ga.grams) AS na, {sz}(gb.grams) AS nb
