@@ -421,6 +421,21 @@ def test_lm_perplexity_matches_python_twin(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6, rtol=0)
 
 
+def test_lm_perplexity_plan_has_no_lambda(spark):
+    """Regression pin for the CollapseProject trap: trigram extraction must
+    go through Generate(explode(positions)) with the normalized text
+    materialized below it — NOT a transform() lambda, where Spark inlines
+    the regexp_replace projection per array element (O(len^2) regex per
+    doc, measured 8x slower). No HOF should survive in the optimized plan,
+    and the normalization regex must sit below the Generate."""
+    df = entrymod.queries()["lm_perplexity"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in plan, "trigram extraction regressed to a HOF"
+    gen = plan.index("Generate explode")
+    proj_below = plan.index("regexp_replace", gen)
+    assert proj_below > gen  # normalization evaluated once per doc, under Generate
+
+
 def test_dedup_clusters_matches_unionfind(spark):
     """3-way pin for the iterative large-star/small-star clustering: the
     Spark DataFrame algorithm vs an independent pure-Python union-find over
