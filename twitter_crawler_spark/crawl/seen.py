@@ -50,6 +50,7 @@ class SeenShard:
         bits: np.ndarray | None = None,
         cuckoo: np.ndarray | None = None,
         overflowed: bool = False,
+        n_added: int = 0,
     ):
         assert bloom_bits % 64 == 0 and cuckoo_buckets & (cuckoo_buckets - 1) == 0
         self.m = bloom_bits
@@ -61,6 +62,12 @@ class SeenShard:
             cuckoo if cuckoo is not None else np.zeros((cuckoo_buckets, cuckoo_slots), np.uint16)
         )
         self.overflowed = overflowed
+        # keys inserted over the shard's lifetime (callers pass distinct new
+        # urls, so this is exact) — the occupancy input to the capacity
+        # policy: compaction rebuilds a shard whose n_added/m load crossed
+        # CrawlConfig.bloom_max_load with doubled geometry (a saturated
+        # bloom degrades FP→1: correct but the pruning tier stops paying)
+        self.n_added = int(n_added)
 
     # --- hashing: reuse the two murmur3_32 halves inside the 64-bit url_hash ---
 
@@ -165,6 +172,7 @@ class SeenShard:
             return
         self.bloom_add(hashes)
         self.cuckoo_add(hashes)
+        self.n_added += len(hashes)
 
     # --- persistence ------------------------------------------------------------------
 
@@ -175,15 +183,19 @@ class SeenShard:
                 f,
                 bits=self.bits,
                 cuckoo=self.cuckoo,
-                meta=np.array([self.m, self.k, self.cb, self.cs, int(self.overflowed)]),
+                meta=np.array([self.m, self.k, self.cb, self.cs,
+                               int(self.overflowed), self.n_added]),
             )
         os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "SeenShard":
         z = np.load(path)
-        m, k, cb, cs, ov = (int(x) for x in z["meta"])
-        return cls(m, k, cb, cs, bits=z["bits"], cuckoo=z["cuckoo"], overflowed=bool(ov))
+        meta = [int(x) for x in z["meta"]]
+        m, k, cb, cs, ov = meta[:5]
+        n_added = meta[5] if len(meta) > 5 else 0  # pre-round-5 shard files
+        return cls(m, k, cb, cs, bits=z["bits"], cuckoo=z["cuckoo"],
+                   overflowed=bool(ov), n_added=n_added)
 
 
 def shard_path(bloom_dir: str, bucket: int) -> str:
@@ -221,6 +233,14 @@ def make_seen_check_fn(bucket_paths: dict[int, str]):
     return check
 
 
+# applyInPandas output schema shared by the update and rebuild fns (and the
+# engine call sites): per-bucket stats the driver folds into the manifest's
+# bloom_map (shard version) and bloom_load (capacity-policy occupancy) maps
+SHARD_STATS_SCHEMA = (
+    "bucket int, added long, overflowed boolean, n_total long, m_bits long"
+)
+
+
 def make_seen_update_fn(bucket_paths: dict[int, str], new_bloom_dir: str, cfg):
     """applyInPandas fn over NEW urls grouped by ``bucket``: load the
     bucket's committed sidecar (manifest map lookup), add the new hashes,
@@ -244,7 +264,52 @@ def make_seen_update_fn(bucket_paths: dict[int, str], new_bloom_dir: str, cfg):
         os.makedirs(new_bloom_dir, exist_ok=True)
         shard.save(shard_path(new_bloom_dir, bucket))
         return pd.DataFrame(
-            {"bucket": [bucket], "added": [len(pdf)], "overflowed": [shard.overflowed]}
+            {"bucket": [bucket], "added": [len(pdf)],
+             "overflowed": [shard.overflowed],
+             "n_total": [shard.n_added], "m_bits": [shard.m]}
         )
 
     return update
+
+
+def grown_geometry(n: int, cfg) -> tuple[int, int]:
+    """Target shard geometry for n keys under the capacity policy: bloom bits
+    doubled from the configured base until the post-rebuild load n/m is at
+    most half of ``bloom_max_load`` (headroom for the next compaction
+    window), cuckoo buckets doubled until occupancy n/(cb*cs) is at most
+    ``cuckoo_target_load``. Growth is geometric, so a shard is rebuilt
+    O(log n) times over the whole crawl regardless of length."""
+    m = cfg.bloom_bits_per_partition
+    while n > (cfg.bloom_max_load / 2) * m:
+        m *= 2
+    cb = cfg.cuckoo_buckets_per_partition
+    while n > cfg.cuckoo_target_load * cb * cfg.cuckoo_slots:
+        cb *= 2
+    return m, cb
+
+
+def make_shard_rebuild_fn(new_bloom_dir: str, geom: dict[int, tuple[int, int]], cfg):
+    """applyInPandas fn over the FULL url_seen slice of saturated buckets
+    (bucket-pruned scan — compaction reads these rows anyway), grouped by
+    ``bucket``: build a fresh shard with the grown geometry
+    ``geom[bucket] = (bloom_bits, cuckoo_buckets)`` and write it into this
+    round's sidecar dir. A bloom filter cannot be resized in place (bit
+    positions are hash(m)-dependent), so growth = exact rebuild from the
+    authoritative url_seen table at the compaction commit — the same atomic
+    point that rewrites the frontier base. Runs inside executor tasks; the
+    superseded small shard is GC'd post-commit like any replaced shard."""
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        m, cb = geom[bucket]
+        shard = SeenShard(m, cfg.bloom_num_hashes, cb, cfg.cuckoo_slots)
+        shard.add(pdf["url_hash"].to_numpy(np.int64))
+        os.makedirs(new_bloom_dir, exist_ok=True)
+        shard.save(shard_path(new_bloom_dir, bucket))
+        return pd.DataFrame(
+            {"bucket": [bucket], "added": [len(pdf)],
+             "overflowed": [shard.overflowed],
+             "n_total": [shard.n_added], "m_bits": [shard.m]}
+        )
+
+    return rebuild

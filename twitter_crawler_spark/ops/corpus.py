@@ -66,13 +66,36 @@ ORDER BY digest
 # doc_a < doc_b ordering it lands on.
 JACCARD_CAND_CAP = 8
 
+# Hot-bucket guard for the LSH banding join: a (band, key) bucket of m docs
+# would emit m(m−1)/2 candidate pairs — at 100 TB a degenerate band key (a
+# boilerplate/empty-template duplicate cluster of 10⁶ docs, which real web
+# corpora always contain) is a 10¹²-row shuffle block on ONE key. Buckets
+# larger than this cap are near-certain duplicate clusters, so they are
+# diverted to STAR edges (bucket-min representative → member): O(m) rows,
+# connectivity within the bucket preserved EXACTLY (every member reaches
+# every other through the representative), so the clustering consumer
+# (dedup_clusters) is unchanged in semantics while the worst-case pair
+# output drops from quadratic to linear in the hottest bucket. The diverted
+# volume is surfaced by the ``lsh_bucket_stats`` report query — truncation
+# is never silent.
+LSH_BUCKET_CAP = 64
 
-def _lsh_cte(d: str) -> str:
-    """Shared MinHash-LSH banding CTE chain (hashes → sig → bands) used by
-    both the candidate-pair query and the Jaccard verify tier. The signature
-    is computed as ONE array column (single aggregate pass over the token
-    hashes on the Spark side — see exprs.minhash_sig_col) and the band keys
-    are folds over its elements."""
+
+def _lsh_cte(d: str, cap: int = LSH_BUCKET_CAP) -> str:
+    """Shared MinHash-LSH banding CTE chain (hashes → sig → bands →
+    guarded pair_src) used by every LSH consumer. The signature is computed
+    as ONE array column (single aggregate pass over the token hashes on the
+    Spark side — see exprs.minhash_sig_col) and the band keys are folds over
+    its elements.
+
+    ``pair_src`` is the HOT-BUCKET-GUARDED candidate edge stream (doc_a <
+    doc_b, with multiplicity = one row per shared band): buckets of ≤ cap
+    docs self-join all-pairs as before; oversized buckets emit star edges
+    to the bucket-min representative (see LSH_BUCKET_CAP). The bucket
+    sizing is a window over (band, key) — one shuffle on the band key, and
+    within-partition cost O(m log m) even for the degenerate bucket, versus
+    the O(m²) join output it prevents. NULL band keys (empty-token docs)
+    are excluded, matching the equi-join semantics they always had."""
     band_cols = ",\n       ".join(
         f"{E.band_key_arr('sig', b, d)} AS band{b}" for b in range(E.LSH_BANDS)
     )
@@ -99,7 +122,22 @@ presig AS (
 sigs AS (
   SELECT doc_id, {band_cols} FROM presig
 ),
-bands AS ({bands})"""
+bands AS ({bands}),
+sized AS (
+  SELECT doc_id, band, key,
+         COUNT(*) OVER (PARTITION BY band, key) AS bsz,
+         MIN(doc_id) OVER (PARTITION BY band, key) AS rep
+  FROM bands WHERE key IS NOT NULL
+),
+pair_src AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {cap}
+  UNION ALL
+  SELECT rep AS doc_a, doc_id AS doc_b
+  FROM sized WHERE bsz > {cap} AND doc_id > rep
+)"""
 
 
 def sql_dedup_ngram_jaccard(d: str) -> str:
@@ -123,9 +161,8 @@ def sql_dedup_ngram_jaccard(d: str) -> str:
     return f"""
 WITH {_lsh_cte(d)},
 cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+  FROM pair_src
   GROUP BY 1, 2
 ),
 capped AS (
@@ -160,15 +197,18 @@ LIMIT 20
 """
 
 
-def sql_dedup_minhash_lsh(d: str) -> str:
+def sql_dedup_minhash_lsh(d: str, cap: int = LSH_BUCKET_CAP) -> str:
     """MinHash signatures + LSH banding: near-dup candidate pairs become an
     equi-join on (band, band_key) — the 100 TB-scalable plan (no cross
-    join anywhere)."""
+    join anywhere), hot-bucket-guarded (see LSH_BUCKET_CAP: oversized
+    buckets contribute star edges to their representative instead of
+    all-pairs). ``n_shared_bands`` counts the bands in which the pair
+    either co-occurred in a small bucket or is (representative, member) of
+    a hot bucket."""
     return f"""
-WITH {_lsh_cte(d)}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WITH {_lsh_cte(d, cap)}
+SELECT doc_a, doc_b, COUNT(*) AS n_shared_bands
+FROM pair_src
 GROUP BY 1, 2
 ORDER BY n_shared_bands DESC, doc_a, doc_b
 """
@@ -182,9 +222,37 @@ def sql_lsh_pairs(d: str) -> str:
     definitionally identical candidate graph."""
     return f"""
 WITH {_lsh_cte(d)}
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM pair_src
+"""
+
+
+def sql_lsh_bucket_stats(d: str, cap: int = LSH_BUCKET_CAP) -> str:
+    """Per-band report of the hot-bucket guard's effect: bucket counts, how
+    many buckets exceeded LSH_BUCKET_CAP, how many doc-slots sit in hot
+    buckets, and the candidate-pair volume with and without the guard
+    (``pairs_unguarded`` = Σ m(m−1)/2; ``pairs_emitted`` = Σ_small m(m−1)/2
+    + Σ_hot (m−1)). This is the 'never silent' side report the guard
+    promises: a pipeline run logs diverted = unguarded − emitted per band,
+    and a blow-up that WOULD have happened shows up here as a concrete row
+    count instead of a dead cluster."""
+    pairs_all = _intdiv("n_docs * (n_docs - 1)", "2", d)
+    return f"""
+WITH {_lsh_cte(d, cap)},
+bsz AS (
+  SELECT band, key, COUNT(*) AS n_docs
+  FROM bands WHERE key IS NOT NULL
+  GROUP BY band, key
+)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(CASE WHEN n_docs > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+       CAST(SUM(CASE WHEN n_docs > {cap} THEN n_docs ELSE 0 END) AS BIGINT) AS hot_docs,
+       CAST(SUM({pairs_all}) AS BIGINT) AS pairs_unguarded,
+       CAST(SUM(CASE WHEN n_docs > {cap} THEN n_docs - 1
+                     ELSE {pairs_all} END) AS BIGINT) AS pairs_emitted
+FROM bsz
+GROUP BY band
+ORDER BY band
 """
 
 
@@ -204,9 +272,7 @@ def sql_dedup_clusters(d: str) -> str:
     return f"""
 WITH RECURSIVE {_lsh_cte(d)},
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM pair_src
 ),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -541,7 +607,10 @@ def sql_corpus_clean(d: str) -> str:
     Composition notes for scale: the LSH banding is computed ONCE over all
     documents via the shared ``_lsh_cte`` template (banding is per-doc, so
     candidate pairs among survivors ≡ all-corpus pairs with both endpoints
-    surviving — no second signature pass); every stage is a hash
+    surviving — no second signature pass; under the hot-bucket guard a hot
+    bucket's members are dominated via its representative, so if the
+    representative itself fails an earlier gate its surviving near-twins
+    are kept — the documented, deterministic guard policy); every stage is a hash
     aggregate / equi-join / anti-join (NOT EXISTS), so the whole pipeline
     is one shuffle chain with no cross product and no Python."""
     digest = "sha2(text, 256)" if d == "spark" else "sha256(text)"
@@ -565,9 +634,7 @@ s1 AS (
   FROM ex e JOIN keepers k ON e.doc_id = k.doc_id
 ),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM pair_src
 ),
 dom AS (
   SELECT DISTINCT p.doc_b AS doc_id
@@ -917,12 +984,17 @@ def sql_decontaminate(d: str) -> str:
     hygiene pass): flag every training document sharing any token
     {DECON_N}-gram with the benchmark holdout. Relational shape built for
     100 TB: each side explodes to (doc_id, gram_hash) rows — ordered
-    60-bit gram hashes, never gram strings — the benchmark gram set is tiny
-    (eval suites are MBs, not TBs) so Spark broadcasts it into the training
-    explode with no shuffle of the corpus side, and the only wide operation
-    is the final groupBy doc_id. At the design point you'd add a bloom
-    pre-filter built from the benchmark grams in front of the join; the join
-    IS that filter at fixture scale. Output: every training doc with its
+    60-bit gram hashes, never gram strings — a REAL benchmark gram set is
+    tiny (eval suites are MBs, not TBs) so Spark broadcasts it into the
+    training explode with no shuffle of the corpus side, and the only wide
+    operation is the final groupBy doc_id. Caveat on the fixture stand-in:
+    the modulus holdout (doc_id % {DECON_BENCH_MOD}) is ~4% of the corpus'
+    own grams — far larger relative to the corpus than real eval suites —
+    so the BroadcastHashJoin the plan audit pins is asserted at fixture
+    scale; at the design point the broadcast property comes from the eval
+    suite's absolute size, plus a bloom pre-filter built from the benchmark
+    grams in front of the join. Output: EVERY training doc (docs shorter
+    than {DECON_N} tokens carry no gram, so n_grams=0 and keep=1) with its
     gram count, distinct contaminated-gram count, and the keep verdict."""
     toks = E.tokens("text", d)
     sz = "size" if d == "spark" else "len"
@@ -948,13 +1020,15 @@ hits AS (
   WHERE e.doc_id % {DECON_BENCH_MOD} != 0
   GROUP BY e.doc_id
 )
-SELECT g.doc_id,
-       CAST({sz}(g.grams) AS BIGINT) AS n_grams,
+SELECT d.doc_id,
+       CAST(COALESCE({sz}(g.grams), 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(h2.n_hit, 0) AS BIGINT) AS n_contaminated,
        CASE WHEN COALESCE(h2.n_hit, 0) = 0 THEN 1 ELSE 0 END AS keep
-FROM g LEFT JOIN hits h2 ON h2.doc_id = g.doc_id
-WHERE g.doc_id % {DECON_BENCH_MOD} != 0
-ORDER BY g.doc_id
+FROM documents d
+LEFT JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN hits h2 ON h2.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} != 0
+ORDER BY d.doc_id
 """
 
 
@@ -1057,6 +1131,7 @@ CORPUS_SQL = {
     "dedup_exact": sql_dedup_exact,
     "dedup_ngram_jaccard": sql_dedup_ngram_jaccard,
     "dedup_minhash_lsh": sql_dedup_minhash_lsh,
+    "lsh_bucket_stats": sql_lsh_bucket_stats,
     "dedup_simhash_pairs": sql_dedup_simhash,
     "simhash_signatures": sql_simhash_signatures,
     "dedup_embedding_nn": sql_dedup_embedding_nn,

@@ -59,6 +59,8 @@ URL_SEEN = StructType(
 )
 
 # replaces POSTED/RT/MENTION/TAGGED relationships (GraphStorage.scala:143-218)
+# src_bucket = murmur3_64(src_url) % seen_partitions is the layout partition
+# column: per-source analytics scans (J1/J5) partition-prune on it
 EDGES = StructType(
     [
         StructField("src_url", StringType(), False),
@@ -66,6 +68,7 @@ EDGES = StructType(
         StructField("anchor", StringType()),
         StructField("round", IntegerType(), False),
         StructField("ts", LongType(), False),  # logical fetch time
+        StructField("src_bucket", IntegerType(), False),
     ]
 )
 
