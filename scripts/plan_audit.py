@@ -63,7 +63,7 @@ JVM_ONLY_QUERIES = [
     "doc_fingerprint", "lang_id", "quality_score", "token_count",
     "token_edges", "multimodal_meta", "ann_lsh_bucketed",
     "repetition_stats", "decontaminate", "sequence_pack",
-    "lm_perplexity", "lsh_bucket_stats",
+    "lm_perplexity", "lsh_bucket_stats", "span_dedup", "bm25_topk",
 ]
 
 # universal-ban exceptions, each with its reason (rendered into PLANS.md)

@@ -167,7 +167,8 @@ def test_info_transfer_matches_pandas(spark):
                                   "repetition_stats", "ann_ivf_flat",
                                   "corpus_clean_report", "sample_stratified",
                                   "mixture_weights", "decontaminate",
-                                  "sequence_pack", "lm_perplexity"])
+                                  "sequence_pack", "lm_perplexity",
+                                  "span_dedup", "bm25_topk"])
 def test_corpus_queries_run(spark, name):
     df = entrymod.queries()[name](spark, SF)
     assert df.count() > 0
@@ -525,3 +526,93 @@ def test_tsv_sink_roundtrip(spark, tmp_path):
     back = spark.read.option("sep", "\t").csv(out).collect()
     got = {(r[0], r[1]) for r in back}
     assert got == {("1", "<a|b>"), ("2", NO_ENTITIES)}
+
+
+def test_span_dedup_matches_python_twin(spark):
+    """Independent twin for C4-style duplicate-span dedup: recompute the
+    non-overlapping token windows with plain Python tuples (no hashing —
+    also proves the 60-bit span hash collision-free on the fixture) and
+    re-derive every doc's span counts and cross-doc duplicate fraction."""
+    from twitter_crawler_spark.ops.corpus import SPAN_W
+
+    got = (
+        entrymod.queries()["span_dedup"](spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    spans: dict[int, list[tuple[str, ...]]] = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = _py_tokens(text)
+        spans[int(doc_id)] = [
+            tuple(toks[i : i + SPAN_W])
+            for i in range(0, len(toks) - SPAN_W + 1, SPAN_W)
+        ]
+    ndocs: dict[tuple[str, ...], set[int]] = {}
+    for doc_id, ss in spans.items():
+        for s in ss:
+            ndocs.setdefault(s, set()).add(doc_id)
+    rows = []
+    for doc_id in sorted(spans):
+        ss = spans[doc_id]
+        dup = sum(1 for s in ss if len(ndocs[s]) >= 2)
+        rows.append((doc_id, len(ss), dup,
+                     round(dup / len(ss), 6) if ss else 0.0))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_spans", "n_dup_spans",
+                                       "dup_span_frac"])
+    assert want.n_dup_spans.sum() > 0  # the fixture's dup docs share spans
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bm25_matches_python_twin(spark):
+    """Independent twin for BM25 retrieval: python floats, Lucene idf form,
+    same (score desc, doc_id) tie-break, 1e-6 tolerance on the rounded
+    score (the gap_entropy float class)."""
+    import math
+
+    from twitter_crawler_spark.ops.corpus import BM25_B, BM25_K1, BM25_QUERY_TERMS
+
+    got = entrymod.queries()["bm25_topk"](spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {int(i): _py_tokens(t) for i, t in zip(docs.doc_id, docs.text)}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {q: sum(1 for t in toks.values() if q in t) for q in BM25_QUERY_TERMS}
+    rows = []
+    for doc_id, t in toks.items():
+        dl = len(t)
+        score, matched = 0.0, 0
+        for q in BM25_QUERY_TERMS:
+            tf = t.count(q)
+            if tf:
+                matched += 1
+                idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                score += idf * tf * (BM25_K1 + 1) / (
+                    tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+                )
+        if matched:
+            rows.append((doc_id, matched, round(score, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    want = pd.DataFrame(rows[:20], columns=["doc_id", "n_terms_matched", "bm25"])
+    assert len(want) == 20
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6, rtol=0)
+
+
+def test_gram_explodes_have_no_per_element_regex(spark):
+    """Regression pin for the CollapseProject trap on the n-gram/span ops
+    (same class as test_lm_perplexity_plan_has_no_lambda): the token-hash
+    folds must be computed per EXPLODED POSITION over the th1/th2 columns
+    (Generate boundary), never via a transform() lambda that captures the
+    computed projections — the trapped plans showed the tokenizer regex
+    inlined 18-22x (once per array element), the fixed ones <= 9 (once per
+    CTE reference)."""
+    for name, bound in (("span_dedup", 6), ("decontaminate", 12)):
+        df = entrymod.queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Generate explode") >= 1, name
+        n_regex = plan.count("regexp_replace")
+        assert n_regex <= bound, (
+            f"{name}: tokenizer regex appears {n_regex}x in the optimized "
+            f"plan (> {bound}) — per-element inlining regressed"
+        )

@@ -952,31 +952,35 @@ DECON_N = 5
 DECON_BENCH_MOD = 23
 
 
-def _gram_hashes_wide(n: int, d: str) -> str:
-    """Distinct 60-bit hashes of ordered token n-grams, as an expression over
-    CTE columns ``th1``/``th2`` (the two independent ordered token-hash
-    arrays). Each gram hash folds n consecutive token hashes with the
-    polynomial family, one fold per hash family, packed h1·2^30 + h2 — all
-    intermediates < 2^60, int64-exact in both engines, and 60 bits keeps the
-    gram-collision probability negligible at the 10^10-gram design point
-    (the same widening SimHash got in round 3)."""
+def _gram_hash_explode(n: int, d: str) -> str:
+    """SELECT emitting one row per ordered token n-gram of each doc:
+    ``(doc_id, gh)`` with gh the 60-bit dual-family fold over CTE columns
+    ``th1``/``th2`` (two independent ordered token-hash arrays; all
+    intermediates < 2^60, int64-exact in both engines; 60 bits keeps the
+    gram-collision probability negligible at the 10^10-gram design point).
+
+    Plan note (the lm_perplexity CollapseProject trap): positions are
+    exploded through a Generate and each fold is computed per exploded row
+    over the th1/th2 COLUMNS — never a transform() lambda capturing the
+    computed token-hash projections, which Spark inlines and re-evaluates
+    (tokenizer regex included) per array element: the decontaminate gate
+    (Spark + DuckDB + compare) measured 58-97 s with the lambda form vs
+    8 s with this Generate form at sf0.001."""
     if d == "spark":
-        f1 = (f"aggregate(slice(th1, i, {n}), cast({E.HASH_INIT} as bigint),"
+        f1 = (f"aggregate(slice(th1, pos, {n}), cast({E.HASH_INIT} as bigint),"
               f" (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
-        f2 = (f"aggregate(slice(th2, i, {n}), cast({E.HASH_INIT2} as bigint),"
+        f2 = (f"aggregate(slice(th2, pos, {n}), cast({E.HASH_INIT2} as bigint),"
               f" (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
-        # sequence(1, 0) in Spark is the DESCENDING [1, 0] — guard short docs
-        grams = (f"case when size(th1) < {n} then array()"
-                 f" else transform(sequence(1, size(th1) - {n - 1}),"
-                 f" i -> ({f1}) * {1 << 30} + ({f2})) end")
-        return f"array_distinct({grams})"
+        return (f"SELECT doc_id, ({f1}) * {1 << 30} + ({f2}) AS gh FROM h"
+                f" LATERAL VIEW explode(sequence(1, size(th1) - {n - 1})) AS pos"
+                f" WHERE size(th1) >= {n}")
     f1 = (f"list_reduce(list_prepend(cast({E.HASH_INIT} as bigint),"
-          f" th1[i:i+{n - 1}]), (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
+          f" th1[pos:pos+{n - 1}]), (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
     f2 = (f"list_reduce(list_prepend(cast({E.HASH_INIT2} as bigint),"
-          f" th2[i:i+{n - 1}]), (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
-    grams = (f"list_transform(generate_series(1, len(th1) - {n - 1}),"
-             f" i -> ({f1}) * {1 << 30} + ({f2}))")
-    return f"list_distinct({grams})"
+          f" th2[pos:pos+{n - 1}]), (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
+    return (f"SELECT doc_id, ({f1}) * {1 << 30} + ({f2}) AS gh FROM h,"
+            f" UNNEST(generate_series(1, len(th1) - {n - 1})) AS u(pos)"
+            f" WHERE len(th1) >= {n}")
 
 
 def sql_decontaminate(d: str) -> str:
@@ -1000,19 +1004,15 @@ def sql_decontaminate(d: str) -> str:
     sz = "size" if d == "spark" else "len"
     th1 = E.transform("toks", f"t -> {E.str_hash('t', d)}", d)
     th2 = E.transform("toks", f"t -> {E.str_hash2('t', d)}", d)
-    grams = _gram_hashes_wide(DECON_N, d)
-    if d == "spark":
-        expl = "SELECT doc_id, gh FROM g LATERAL VIEW explode(grams) AS gh"
-    else:
-        expl = "SELECT doc_id, u.gh FROM g, UNNEST(grams) AS u(gh)"
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 h AS (
   SELECT doc_id, {th1} AS th1, {th2} AS th2
   FROM t WHERE {sz}(toks) >= {DECON_N}
 ),
-g AS (SELECT doc_id, {grams} AS grams FROM h),
-e AS ({expl}),
+e0 AS ({_gram_hash_explode(DECON_N, d)}),
+e AS (SELECT DISTINCT doc_id, gh FROM e0),
+gcount AS (SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id),
 bench AS (SELECT DISTINCT gh FROM e WHERE doc_id % {DECON_BENCH_MOD} = 0),
 hits AS (
   SELECT e.doc_id, COUNT(*) AS n_hit
@@ -1021,11 +1021,11 @@ hits AS (
   GROUP BY e.doc_id
 )
 SELECT d.doc_id,
-       CAST(COALESCE({sz}(g.grams), 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(gc.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(h2.n_hit, 0) AS BIGINT) AS n_contaminated,
        CASE WHEN COALESCE(h2.n_hit, 0) = 0 THEN 1 ELSE 0 END AS keep
 FROM documents d
-LEFT JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN gcount gc ON gc.doc_id = d.doc_id
 LEFT JOIN hits h2 ON h2.doc_id = d.doc_id
 WHERE d.doc_id % {DECON_BENCH_MOD} != 0
 ORDER BY d.doc_id
@@ -1072,6 +1072,144 @@ SELECT doc_id, shard, n_tokens,
        CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
 FROM w
 ORDER BY doc_id
+"""
+
+
+# C4/Dolma-style duplicate-span dedup granularity: non-overlapping windows
+# of SPAN_W tokens stand in for the "3-sentence span" / "line" unit real
+# pipelines dedup at (the fixture text has no sentence punctuation, so the
+# unit is token-positional; the relational shape is identical).
+SPAN_W = 8
+
+
+def sql_span_dedup(d: str) -> str:
+    """Cross-document duplicate-SPAN report (C4 §2.2 three-sentence-span
+    dedup / RefinedWeb line-dedup, re-expressed relationally): split every
+    document into non-overlapping {SPAN_W}-token spans, hash each span with
+    the 60-bit dual-family fold (exact in both engines), and report per doc
+    how many of its spans also occur in ANOTHER document — the signal a
+    pipeline uses to strip shared boilerplate without dropping whole docs.
+
+    Scale shape: one explode (linear in corpus tokens / {SPAN_W}), one
+    groupBy span-hash (the only wide shuffle; span multiplicity is counted
+    as DISTINCT docs so within-doc repetition — repetition_stats' job —
+    does not inflate it), one join back onto the exploded stream, one
+    groupBy doc. EVERY doc appears: docs shorter than {SPAN_W} tokens carry
+    zero spans (n_spans=0, dup_span_frac=0) via the left join — never
+    silently dropped."""
+    toks = E.tokens("text", d)
+    th1 = E.transform("toks", f"t -> {E.str_hash('t', d)}", d)
+    th2 = E.transform("toks", f"t -> {E.str_hash2('t', d)}", d)
+    # Plan note (the lm_perplexity CollapseProject trap, avoided up front):
+    # span POSITIONS are exploded through a Generate and the fold is
+    # computed per exploded row over the COLUMNS th1/th2 — never a
+    # transform() lambda capturing the computed token-hash projections,
+    # which Spark would inline and re-evaluate (tokenizer regex included)
+    # per span. The Generate boundary pins th1/th2 to one eval per doc.
+    if d == "spark":
+        f1 = (f"aggregate(slice(th1, pos, {SPAN_W}), cast({E.HASH_INIT} as bigint),"
+              f" (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
+        f2 = (f"aggregate(slice(th2, pos, {SPAN_W}), cast({E.HASH_INIT2} as bigint),"
+              f" (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
+        expl = (f"SELECT doc_id, ({f1}) * {1 << 30} + ({f2}) AS sh FROM h"
+                f" LATERAL VIEW explode(sequence(1, size(th1) - {SPAN_W - 1}, {SPAN_W})) AS pos"
+                f" WHERE size(th1) >= {SPAN_W}")
+    else:
+        f1 = (f"list_reduce(list_prepend(cast({E.HASH_INIT} as bigint),"
+              f" th1[pos:pos+{SPAN_W - 1}]), (acc, x) -> (acc * {E.HASH_MULT} + x) % {E.HASH_P})")
+        f2 = (f"list_reduce(list_prepend(cast({E.HASH_INIT2} as bigint),"
+              f" th2[pos:pos+{SPAN_W - 1}]), (acc, x) -> (acc * {E.HASH_MULT2} + x) % {E.HASH_P2})")
+        expl = (f"SELECT doc_id, ({f1}) * {1 << 30} + ({f2}) AS sh FROM h,"
+                f" UNNEST(generate_series(1, len(th1) - {SPAN_W - 1}, {SPAN_W})) AS u(pos)"
+                f" WHERE len(th1) >= {SPAN_W}")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+h AS (SELECT doc_id, {th1} AS th1, {th2} AS th2 FROM t),
+e AS ({expl}),
+c AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY sh),
+per_doc AS (
+  SELECT e.doc_id,
+         COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+  FROM e JOIN c ON c.sh = e.sh
+  GROUP BY e.doc_id
+)
+SELECT d2.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       ROUND(CASE WHEN COALESCE(p.n_spans, 0) = 0 THEN 0.0
+                  ELSE CAST(p.n_dup_spans AS DOUBLE) / p.n_spans END, 6)
+         AS dup_span_frac
+FROM documents d2 LEFT JOIN per_doc p ON p.doc_id = d2.doc_id
+ORDER BY d2.doc_id
+"""
+
+
+# BM25 retrieval scoring: fixed query term set (a real pipeline feeds these
+# from the retrieval request; fixed here for determinism), Lucene-style
+# non-negative idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def sql_bm25_topk(d: str) -> str:
+    """BM25 top-20 retrieval over the corpus for a fixed query-term set —
+    the relevance-scoring primitive a training-data pipeline uses for
+    quality-targeted sampling (e.g. 'books-like' selection) and that a
+    retrieval tier uses directly.
+
+    Scale shape: per-term tf is a JVM HOF over the token array (row-local
+    in the scan — no explode of the corpus); df and avgdl are one bounded
+    aggregate each (df keyed by |query| terms; avgdl a 1-row frame, both
+    broadcast); the score is a row-local expression over tf columns. The
+    only wide operation is the final top-k sort. All float math is
+    ln/division rounded to 6 decimals — the same cross-engine tolerance
+    class as gap_entropy (both engines' libm agree well past 1e-6)."""
+    toks = E.tokens("text", d)
+    sz = "size" if d == "spark" else "len"
+    flt = "filter" if d == "spark" else "list_filter"
+    tf_cols = ",\n         ".join(
+        f"{sz}({flt}(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    terms = " + ".join(
+        f"(ln(1 + (s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+        f" * tf_{i} * ({BM25_K1} + 1)"
+        f" / (tf_{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / s.avgdl)))"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    n_matched = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+f AS (
+  SELECT doc_id, CAST({sz}(toks) AS DOUBLE) AS dl,
+         {tf_cols}
+  FROM t
+),
+s AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+         {df_cols}
+  FROM f
+),
+scored AS (
+  SELECT f.doc_id,
+         CAST(({n_matched}) AS INT) AS n_terms_matched,
+         ROUND({terms}, 6) AS bm25
+  FROM f, s
+)
+SELECT doc_id, n_terms_matched, bm25
+FROM scored
+WHERE n_terms_matched > 0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
 """
 
 
@@ -1151,6 +1289,8 @@ CORPUS_SQL = {
     "decontaminate": sql_decontaminate,
     "sequence_pack": sql_sequence_pack,
     "lm_perplexity": sql_lm_perplexity,
+    "span_dedup": sql_span_dedup,
+    "bm25_topk": sql_bm25_topk,
 }
 
 # oracles for queries whose Spark side is NOT spark.sql of the same template
