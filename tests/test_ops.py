@@ -607,7 +607,13 @@ def test_gram_explodes_have_no_per_element_regex(spark):
     computed projections — the trapped plans showed the tokenizer regex
     inlined 18-22x (once per array element), the fixed ones <= 9 (once per
     CTE reference)."""
-    for name, bound in (("span_dedup", 6), ("decontaminate", 12)):
+    # bounds are crude canaries: the counts are once-per-CTE-reference
+    # (constant per doc; jaccard's eg CTE is referenced 4x on top of the
+    # LSH chain, hence its higher bound) — per-ELEMENT inlining multiplies
+    # them by gram count and blows far past these
+    for name, bound in (("span_dedup", 6), ("decontaminate", 12),
+                        ("doc_fingerprint", 4), ("repetition_stats", 6),
+                        ("dedup_ngram_jaccard", 44)):
         df = entrymod.queries()[name](spark, SF)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Generate explode") >= 1, name
@@ -616,3 +622,29 @@ def test_gram_explodes_have_no_per_element_regex(spark):
             f"{name}: tokenizer regex appears {n_regex}x in the optimized "
             f"plan (> {bound}) — per-element inlining regressed"
         )
+
+
+def test_gram_ops_survive_long_documents(spark):
+    """Wall-clock regression pin for the per-element-regex class on
+    web-realistic document lengths: the trapped array forms took 541 s
+    (doc_fingerprint) / 13 s (repetition_stats) on 64 docs of 20k chars;
+    the Generate forms run in ~2 s. The generous bound still fails the
+    quadratic forms by an order of magnitude while shrugging off host
+    throttle noise."""
+    import time
+
+    from twitter_crawler_spark.ops.corpus import (
+        sql_doc_fingerprint,
+        sql_repetition_stats,
+    )
+
+    text = "lorem ipsum dolor sit amet consectetur " * 500  # ~20k chars
+    pdf = pd.DataFrame({"doc_id": range(64),
+                        "text": [text + str(i) for i in range(64)]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    for name, sql in (("doc_fingerprint", sql_doc_fingerprint),
+                      ("repetition_stats", sql_repetition_stats)):
+        t0 = time.time()
+        assert spark.sql(sql("spark")).count() == 64
+        wall = time.time() - t0
+        assert wall < 60, f"{name} took {wall:.0f}s on 64x20k-char docs "                           "— the per-element regex trap is back"

@@ -144,20 +144,27 @@ def sql_dedup_ngram_jaccard(d: str) -> str:
     """Exact character-3-gram Jaccard as the VERIFY tier over MinHash-LSH
     candidate pairs (never an all-pairs scan): banding equi-join proposes
     candidates, a per-doc top-{JACCARD_CAND_CAP} cap (by shared-band count)
-    bounds the verify fan-out, then set arithmetic scores the survivors.
-    |A∪B| = |A|+|B|−|A∩B| since gram arrays are distinct. Gram arrays are
-    computed ONLY for documents appearing in a capped candidate pair
-    (semi-join on the candidate endpoints): at 100 TB the char-gram
-    extraction touches the candidate set, never the corpus — and at fixture
-    scale it sidesteps the CollapseProject regex-per-element cost the
-    lm_perplexity plan note documents."""
-    grams = E.char_ngrams("text", 3, d)
-    inter = (
-        "size(array_intersect(ga.grams, gb.grams))"
-        if d == "spark"
-        else "len(list_intersect(ga.grams, gb.grams))"
-    )
-    sz = "size" if d == "spark" else "len"
+    bounds the verify fan-out, then DISTINCT gram rows score the survivors
+    relationally: |A∩B| is a per-pair gram equi-join count and
+    |A∪B| = |A|+|B|−|A∩B|. Grams are emitted ONLY for documents appearing
+    in a capped candidate pair (semi-join on the candidate endpoints): at
+    100 TB the char-gram extraction touches the candidate set, never the
+    corpus. Gram POSITIONS are exploded through a Generate and each gram is
+    a substring of the normalized-text COLUMN per exploded row — the
+    array-building ``transform`` lambda form captures the computed
+    normalization and re-runs its regex per element (the lm_perplexity
+    CollapseProject trap: O(len²) per doc, 541 s for 64×20k-char docs in
+    the doc_fingerprint case)."""
+    norm = ("regexp_replace(lower(text), '[^a-z0-9]+', ' ')" if d == "spark"
+            else "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')")
+    if d == "spark":
+        eg = ("SELECT DISTINCT doc_id, substring(s, pos, 3) AS gram FROM nrm"
+              " LATERAL VIEW explode(sequence(1, length(s) - 2)) AS pos"
+              " WHERE length(s) >= 3")
+    else:
+        eg = ("SELECT DISTINCT doc_id, s[pos:pos+2] AS gram FROM nrm,"
+              " UNNEST(generate_series(1, length(s) - 2)) AS u(pos)"
+              " WHERE length(s) >= 3")
     return f"""
 WITH {_lsh_cte(d)},
 cand AS (
@@ -178,19 +185,31 @@ capped AS (
 cand_docs AS (
   SELECT doc_a AS doc_id FROM capped UNION SELECT doc_b AS doc_id FROM capped
 ),
-g AS (
-  SELECT d.doc_id, {grams} AS grams
+nrm AS (
+  SELECT d.doc_id, {norm} AS s
   FROM documents d JOIN cand_docs cd ON cd.doc_id = d.doc_id
 ),
-scored AS (
-  SELECT c.doc_a, c.doc_b, {inter} AS inter,
-         {sz}(ga.grams) AS na, {sz}(gb.grams) AS nb
+eg AS ({eg}),
+gcnt AS (SELECT doc_id, COUNT(*) AS n FROM eg GROUP BY doc_id),
+ints AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
   FROM capped c
-  JOIN g ga ON ga.doc_id = c.doc_a
-  JOIN g gb ON gb.doc_id = c.doc_b
+  JOIN eg ga ON ga.doc_id = c.doc_a
+  JOIN eg gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         COALESCE(i.inter, 0) AS inter,
+         COALESCE(na.n, 0) AS na, COALESCE(nb.n, 0) AS nb
+  FROM capped c
+  LEFT JOIN ints i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  LEFT JOIN gcnt na ON na.doc_id = c.doc_a
+  LEFT JOIN gcnt nb ON nb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       ROUND(CASE WHEN na + nb - inter = 0 THEN NULL
+                  ELSE CAST(inter AS DOUBLE) / (na + nb - inter) END, 6) AS jaccard
 FROM scored
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 20
@@ -301,34 +320,44 @@ def sql_repetition_stats(d: str) -> str:
     grams explode is linear in corpus size, grouped by (doc, n, gram), so
     the plan is two hash aggregates over a generate, no window, no join
     wider than doc_id. Docs with fewer than 3 tokens carry no defined
-    trigram signal and are excluded (none exist in the fixture)."""
+    trigram signal and are excluded (none exist in the fixture).
+
+    Plan note: word-gram POSITIONS explode through a Generate and each
+    bigram/trigram is concatenated from the token-array COLUMN per exploded
+    row — the previous ``transform(sequence(...), i -> concat(toks[i]...))``
+    lambdas captured the computed tokenization, which CollapseProject
+    inlines and re-runs (split + regex) per gram: O(n_tokens²) per doc,
+    measured 13.1 s → sub-second on 64×3.4k-token documents."""
     toks = E.tokens("text", d)
     n_tok = E.arr_size("toks", d)
     n_dis = E.arr_size(E.distinct("toks", d), d)
     if d == "spark":
-        g2 = ("transform(sequence(1, size(toks) - 1),"
-              " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
-        g3 = ("transform(sequence(1, size(toks) - 2),"
-              " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
-              " ' ', element_at(toks, i + 2)))")
-        expl = ("SELECT doc_id, 2 AS n, gram FROM g LATERAL VIEW explode(g2) AS gram"
-                " UNION ALL "
-                "SELECT doc_id, 3 AS n, gram FROM g LATERAL VIEW explode(g3) AS gram")
+        at = lambda i: f"element_at(toks, {i})"  # noqa: E731
+        expl = (
+            "SELECT doc_id, 2 AS n,"
+            f" concat({at('pos')}, ' ', {at('pos + 1')}) AS gram"
+            " FROM base LATERAL VIEW explode(sequence(1, n_tokens - 1)) AS pos"
+            " UNION ALL "
+            "SELECT doc_id, 3 AS n,"
+            f" concat({at('pos')}, ' ', {at('pos + 1')}, ' ', {at('pos + 2')}) AS gram"
+            " FROM base LATERAL VIEW explode(sequence(1, n_tokens - 2)) AS pos"
+        )
     else:
-        g2 = ("list_transform(generate_series(1, len(toks) - 1),"
-              " i -> concat(toks[i], ' ', toks[i + 1]))")
-        g3 = ("list_transform(generate_series(1, len(toks) - 2),"
-              " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")
-        expl = ("SELECT doc_id, 2 AS n, u2.gram FROM g, UNNEST(g2) AS u2(gram)"
-                " UNION ALL "
-                "SELECT doc_id, 3 AS n, u3.gram FROM g, UNNEST(g3) AS u3(gram)")
+        expl = (
+            "SELECT doc_id, 2 AS n,"
+            " concat(toks[pos], ' ', toks[pos + 1]) AS gram"
+            " FROM base, UNNEST(generate_series(1, n_tokens - 1)) AS u2(pos)"
+            " UNION ALL "
+            "SELECT doc_id, 3 AS n,"
+            " concat(toks[pos], ' ', toks[pos + 1], ' ', toks[pos + 2]) AS gram"
+            " FROM base, UNNEST(generate_series(1, n_tokens - 2)) AS u3(pos)"
+        )
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 base AS (
   SELECT doc_id, toks, {n_tok} AS n_tokens, {n_dis} AS n_distinct
   FROM t WHERE {n_tok} >= 3
 ),
-g AS (SELECT doc_id, {g2} AS g2, {g3} AS g3 FROM base),
 e AS ({expl}),
 c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3),
 m AS (SELECT doc_id, n, MAX(cnt) AS top_cnt, SUM(cnt) AS total FROM c GROUP BY 1, 2),
@@ -828,14 +857,39 @@ ORDER BY doc_id
 
 def sql_doc_fingerprint(d: str) -> str:
     """Document fingerprints: whole-text polynomial hash + the minimum
-    8-gram rolling hash (winnowing-style representative)."""
+    8-gram rolling hash (winnowing-style representative).
+
+    Plan note: gram POSITIONS explode through a Generate and each gram is a
+    substring of the normalized-text COLUMN, hashed per exploded row — the
+    previous array form (``arr_min(transform(char_ngrams(...)))``) captured
+    the computed normalization inside the lambda, and Spark's
+    CollapseProject re-ran the regex per gram: O(len²) per doc, measured
+    **541 s → 2.2 s** on 64×20k-char documents (the fixture's ~300-char
+    docs hid it; web documents are 10-100× longer). MIN over hashed grams ≡
+    min over the distinct-gram array. Docs whose normalized text is shorter
+    than 8 chars emit NULL min_gram_hash in BOTH dialects (the array form
+    silently diverged on them: Spark's ``sequence(1, len-7)`` with len < 8
+    is the descending [1, 0] trap while DuckDB's generate_series is empty —
+    a latent oracle divergence no fixture doc hit, now gone)."""
     full = E.str_hash("text", d)
-    grams = E.char_ngrams("text", 8, d)
-    min_gram = E.arr_min(E.transform(grams, f"g -> {E.str_hash('g', d)}", d), d)
+    norm = ("regexp_replace(lower(text), '[^a-z0-9]+', ' ')" if d == "spark"
+            else "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')")
+    gram_hash = E.str_hash("gram", d)
+    if d == "spark":
+        eg = ("SELECT doc_id, substring(s, pos, 8) AS gram FROM nrm"
+              " LATERAL VIEW explode(sequence(1, length(s) - 7)) AS pos"
+              " WHERE length(s) >= 8")
+    else:
+        eg = ("SELECT doc_id, s[pos:pos+7] AS gram FROM nrm,"
+              " UNNEST(generate_series(1, length(s) - 7)) AS u(pos)"
+              " WHERE length(s) >= 8")
     return f"""
-SELECT doc_id, {full} AS full_hash, {min_gram} AS min_gram_hash
-FROM documents
-ORDER BY doc_id
+WITH nrm AS (SELECT doc_id, {norm} AS s FROM documents),
+eg AS ({eg}),
+m AS (SELECT doc_id, MIN({gram_hash}) AS min_gram_hash FROM eg GROUP BY doc_id)
+SELECT d.doc_id, {full} AS full_hash, m.min_gram_hash
+FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
 

@@ -225,17 +225,15 @@ def simhash(hashes_col: str, d: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def char_ngrams(col: str, n: int, d: str) -> str:
-    """Distinct character n-gram array of a (normalized) text column."""
-    norm = f"regexp_replace(lower({col}), '[^a-z0-9]+', ' ')" if d == "spark" else (
-        f"regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')"
-    )
-    grams = transform(
-        seq(1, f"length({norm}) - {n - 1}", d),
-        f"i -> substring({norm}, i, {n})",
-        d,
-    )
-    return distinct(grams, d)
+# NOTE: a char_ngrams() array helper used to live here
+# (transform(sequence(...), i -> substring(norm, i, n))). It was REMOVED in
+# round 5: the lambda body captures the computed normalization, and Spark's
+# CollapseProject inlines it so the regex re-runs per array ELEMENT —
+# O(len²) per document (541 s for 64×20k-char docs in doc_fingerprint).
+# Gram extraction must explode POSITIONS through a Generate and substring
+# the normalized COLUMN per exploded row instead; see
+# corpus.sql_doc_fingerprint / sql_dedup_ngram_jaccard / _gram_hash_explode
+# and tests/test_ops.py::test_gram_explodes_have_no_per_element_regex.
 
 
 def dot(a: str, b: str, d: str) -> str:
