@@ -635,6 +635,7 @@ def test_gram_ops_survive_long_documents(spark):
 
     from twitter_crawler_spark.ops.corpus import (
         sql_doc_fingerprint,
+        sql_lm_perplexity,
         sql_repetition_stats,
     )
 
@@ -643,8 +644,12 @@ def test_gram_ops_survive_long_documents(spark):
                         "text": [text + str(i) for i in range(64)]})
     spark.createDataFrame(pdf).createOrReplaceTempView("documents")
     for name, sql in (("doc_fingerprint", sql_doc_fingerprint),
-                      ("repetition_stats", sql_repetition_stats)):
+                      ("repetition_stats", sql_repetition_stats),
+                      ("lm_perplexity", sql_lm_perplexity)):
         t0 = time.time()
         assert spark.sql(sql("spark")).count() == 64
         wall = time.time() - t0
-        assert wall < 60, f"{name} took {wall:.0f}s on 64x20k-char docs "                           "— the per-element regex trap is back"
+        assert wall < 60, (
+            f"{name} took {wall:.0f}s on 64x20k-char docs — a long-document "
+            "trap (per-element regex or carried-wide-row explode) is back"
+        )

@@ -1282,27 +1282,38 @@ def sql_lm_perplexity(d: str) -> str:
     float accumulation (round-6 output, same tolerance class as
     gap_entropy).
 
-    Plan note: trigrams are extracted by exploding POSITIONS and
-    substring-ing the normalized text column per exploded row — NOT by a
-    ``transform(sequence(...), i -> substring(s, i, 3))`` HOF. Inside a
-    lambda, Spark's CollapseProject inlines the ``s`` projection, so the
-    regexp_replace re-runs per array ELEMENT (O(len²) regex per doc —
-    measured 17 s at sf0.1); the Generate boundary pins ``s`` to one
-    evaluation per document (2.2 s, 8×). Prefix counts come from the
-    already-tiny trigram table (one SUM over ≤ alphabet³ rows), not a second
-    corpus pass."""
+    Plan note (two long-document traps, both fixed): (1) trigrams are
+    extracted by exploding POSITIONS through a Generate and substring-ing a
+    text COLUMN per exploded row — NOT by a ``transform(sequence(...), i ->
+    substring(s, i, 3))`` HOF, where CollapseProject inlines the ``s``
+    projection and re-runs the regexp per array ELEMENT (O(len²) regex per
+    doc — measured 17 s at sf0.1; the Generate form is 2.2 s). (2) The
+    explode is TWO-LEVEL — 258-char overlapping SEGMENTS first, then
+    positions within a segment — because a single-level explode whose
+    downstream aggregate groups by the substring carries the FULL
+    normalized document through every exploded row (~len²/chunk bytes of
+    row traffic: 64×20k-char docs measured 48 s single-level vs 6 s
+    chunked, identical trigram multiset — segment offsets stride 256 with
+    2 chars of overlap, so every global position appears exactly once).
+    Prefix counts come from the already-tiny trigram table (one SUM over
+    ≤ alphabet³ rows), not a second corpus pass."""
     if d == "spark":
         norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ')"
-        expl = ("SELECT doc_id, substring(s, pos, 3) AS tri FROM t"
-                " LATERAL VIEW explode(sequence(1, length(s) - 2)) AS pos"
-                " WHERE length(s) >= 3")
+        seg = ("SELECT doc_id, substring(s, off, 258) AS seg FROM t"
+               " LATERAL VIEW explode(sequence(1, greatest(length(s) - 2, 1), 256)) AS off"
+               " WHERE length(s) >= 3")
+        expl = ("SELECT doc_id, substring(seg, pos, 3) AS tri FROM seg"
+                " LATERAL VIEW explode(sequence(1, length(seg) - 2)) AS pos")
     else:
         norm = "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')"
-        expl = ("SELECT doc_id, s[pos:pos+2] AS tri FROM t,"
-                " UNNEST(generate_series(1, length(s) - 2)) AS u(pos)"
-                " WHERE length(s) >= 3")
+        seg = ("SELECT doc_id, s[off:off+257] AS seg FROM t,"
+               " UNNEST(generate_series(1, greatest(length(s) - 2, 1), 256)) AS uo(off)"
+               " WHERE length(s) >= 3")
+        expl = ("SELECT doc_id, seg[pos:pos+2] AS tri FROM seg,"
+                " UNNEST(generate_series(1, length(seg) - 2)) AS u(pos)")
     return f"""
 WITH t AS (SELECT doc_id, {norm} AS s FROM documents),
+seg AS ({seg}),
 e AS ({expl}),
 c3 AS (SELECT tri, COUNT(*) AS cnt3 FROM e GROUP BY tri),
 c2 AS (SELECT substring(tri, 1, 2) AS bi, CAST(SUM(cnt3) AS BIGINT) AS cnt2
