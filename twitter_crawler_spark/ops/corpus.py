@@ -157,14 +157,22 @@ def sql_dedup_ngram_jaccard(d: str) -> str:
     the doc_fingerprint case)."""
     norm = ("regexp_replace(lower(text), '[^a-z0-9]+', ' ')" if d == "spark"
             else "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')")
+    # two-level explode (258-char segments, stride 256, 2-char overlap) for
+    # the same carried-wide-row reason as lm_perplexity: the DISTINCT is an
+    # aggregate keyed on a slice of the parent string, so the parent must be
+    # a short segment, not the whole (possibly 100k-char) document
     if d == "spark":
-        eg = ("SELECT DISTINCT doc_id, substring(s, pos, 3) AS gram FROM nrm"
-              " LATERAL VIEW explode(sequence(1, length(s) - 2)) AS pos"
-              " WHERE length(s) >= 3")
+        seg_cte = ("SELECT doc_id, substring(s, off, 258) AS seg FROM nrm"
+                   " LATERAL VIEW explode(sequence(1, greatest(length(s) - 2, 1), 256)) AS off"
+                   " WHERE length(s) >= 3")
+        eg = ("SELECT DISTINCT doc_id, substring(seg, pos, 3) AS gram FROM segs"
+              " LATERAL VIEW explode(sequence(1, length(seg) - 2)) AS pos")
     else:
-        eg = ("SELECT DISTINCT doc_id, s[pos:pos+2] AS gram FROM nrm,"
-              " UNNEST(generate_series(1, length(s) - 2)) AS u(pos)"
-              " WHERE length(s) >= 3")
+        seg_cte = ("SELECT doc_id, s[off:off+257] AS seg FROM nrm,"
+                   " UNNEST(generate_series(1, greatest(length(s) - 2, 1), 256)) AS uo(off)"
+                   " WHERE length(s) >= 3")
+        eg = ("SELECT DISTINCT doc_id, seg[pos:pos+2] AS gram FROM segs,"
+              " UNNEST(generate_series(1, length(seg) - 2)) AS u(pos)")
     return f"""
 WITH {_lsh_cte(d)},
 cand AS (
@@ -189,6 +197,7 @@ nrm AS (
   SELECT d.doc_id, {norm} AS s
   FROM documents d JOIN cand_docs cd ON cd.doc_id = d.doc_id
 ),
+segs AS ({seg_cte}),
 eg AS ({eg}),
 gcnt AS (SELECT doc_id, COUNT(*) AS n FROM eg GROUP BY doc_id),
 ints AS (
